@@ -1,0 +1,25 @@
+"""Test configuration: force a virtual 8-device CPU mesh so sharding tests
+run without TPU hardware, per the project testing strategy (SURVEY.md §4).
+
+NOTE: this environment's TPU plugin registers itself at interpreter start
+(sitecustomize) and overrides JAX_PLATFORMS from the environment, so the env
+var alone is not enough — we must override jax_platforms via jax.config
+after import, before first backend use.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()

@@ -1,0 +1,74 @@
+"""V3C container tests: parameter sets, patch data units, sample stream."""
+
+import numpy as np
+
+from vpcc_tpu.bitstream import v3c
+from vpcc_tpu.bitstream.bitio import BitReader, BitWriter
+
+
+def test_vps_roundtrip():
+    vps = v3c.V3CParameterSet(
+        frame_width=1280, frame_height=1344, frame_count=32,
+        occupancy_precision=4, geometry_3d_bitdepth=10, min_level=64,
+    )
+    bw = BitWriter()
+    vps.write(bw)
+    rt = v3c.V3CParameterSet.read(BitReader(bw.getvalue()))
+    assert rt == vps
+
+
+def test_pdu_roundtrip():
+    pdu = v3c.PatchDataUnit(
+        pos_x=5, pos_y=9, size_x_m1=12, size_y_m1=3, offset_u=100,
+        offset_v=204, offset_d=3, range_d=2, projection_id=4,
+        orientation=1, size_u=200, size_v=60,
+    )
+    bw = BitWriter()
+    pdu.write(bw)
+    bw.byte_align()
+    rt = v3c.PatchDataUnit.read(BitReader(bw.getvalue()))
+    assert rt == pdu
+
+
+def test_atlas_tile_layer_roundtrip():
+    tile = v3c.AtlasTileLayer(
+        frame_index=3,
+        patches=[v3c.PatchDataUnit(pos_x=i, size_u=i * 7) for i in range(20)],
+    )
+    bw = BitWriter()
+    tile.write(bw)
+    rt = v3c.AtlasTileLayer.read(BitReader(bw.getvalue()))
+    assert rt == tile
+
+
+def test_sample_stream_roundtrip():
+    units = [
+        (v3c.V3C_VPS, b"\x01\x02\x03"),
+        (v3c.V3C_AD, bytes(range(100))),
+        (v3c.V3C_GVD, b"\xff" * 70000),  # forces multi-byte size precision
+    ]
+    data = v3c.write_sample_stream(units)
+    rt = v3c.read_sample_stream(data)
+    assert rt == units
+
+
+def test_video_substream_roundtrip():
+    sub = v3c.VideoSubstream(v3c.V3C_GVD, 1, [b"abc", b"", b"x" * 999])
+    bw = BitWriter()
+    sub.write(bw)
+    rt = v3c.VideoSubstream.read(BitReader(bw.getvalue()))
+    assert rt.map_index == 1
+    assert rt.frames == sub.frames
+
+
+def test_lossless_plane_roundtrip():
+    from vpcc_tpu.video import lossless
+
+    rng = np.random.default_rng(0)
+    for arr in (
+        rng.integers(0, 255, (64, 96), dtype=np.uint16),
+        rng.integers(0, 255, (64, 96, 3)).astype(np.uint8),
+        np.zeros((32, 32), np.uint8),
+    ):
+        rt = lossless.decode_plane(lossless.encode_plane(arr))
+        np.testing.assert_array_equal(rt, arr)

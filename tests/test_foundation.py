@@ -1,0 +1,85 @@
+"""Foundation tests: config, PLY I/O, bit I/O, synthetic data."""
+
+import numpy as np
+import pytest
+
+from vpcc_tpu.bitstream.bitio import BitReader, BitWriter
+from vpcc_tpu.utils.config import VPCCConfig
+from vpcc_tpu.utils.ply import PointCloudData, read_ply, write_ply
+from vpcc_tpu.utils.synthetic import make_person_cloud, make_sphere_cloud
+
+
+def test_config_defaults():
+    cfg = VPCCConfig()
+    assert cfg.occupancyResolution == 16
+    assert cfg.surfaceThickness == 4
+    assert cfg.minLevel == 64
+
+
+def test_config_loads_reference_ctc_files():
+    cfg = VPCCConfig.from_cfg_files(
+        "/root/reference/cfg/common/ctc-common.cfg",
+        "/root/reference/cfg/condition/ctc-all-intra.cfg",
+        "/root/reference/cfg/sequence/longdress_vox10.cfg",
+        "/root/reference/cfg/rate/ctc-r3.cfg",
+    )
+    assert cfg.geometryQP == 24
+    assert cfg.attributeQP == 32
+    assert cfg.occupancyPrecision == 4
+    assert cfg.frameCount == 300
+    assert cfg.geometry3dCoordinatesBitdepth == 10
+    assert cfg.iterationCountRefineSegmentation == 50  # sequence overrides common
+
+
+def test_config_cli_overrides():
+    cfg = VPCCConfig.from_args(["--geometryQP=30", "--frameCount=5"])
+    assert cfg.geometryQP == 30
+    assert cfg.frameCount == 5
+
+
+def test_ply_roundtrip_binary(tmp_path):
+    pc = make_sphere_cloud(bits=6, n_samples=5000)
+    path = tmp_path / "t.ply"
+    write_ply(path, pc)
+    rt = read_ply(path)
+    assert rt.point_count == pc.point_count
+    np.testing.assert_array_equal(rt.positions.astype(np.int32), pc.positions)
+    np.testing.assert_array_equal(rt.colors, pc.colors)
+
+
+def test_ply_roundtrip_ascii(tmp_path):
+    pc = make_sphere_cloud(bits=5, n_samples=800)
+    path = tmp_path / "t.ply"
+    write_ply(path, pc, ascii_format=True)
+    rt = read_ply(path)
+    np.testing.assert_array_equal(rt.positions.astype(np.int32), pc.positions)
+
+
+def test_bitio_roundtrip():
+    bw = BitWriter()
+    vals_u = [(1, 1), (5, 17), (16, 65535), (7, 100)]
+    for n, v in vals_u:
+        bw.u(n, v)
+    vals_ue = [0, 1, 2, 3, 100, 98765]
+    for v in vals_ue:
+        bw.ue(v)
+    vals_se = [0, 1, -1, 5, -7, 1234, -4321]
+    for v in vals_se:
+        bw.se(v)
+    bw.byte_align()
+    data = bw.getvalue()
+    br = BitReader(data)
+    for n, v in vals_u:
+        assert br.u(n) == v
+    for v in vals_ue:
+        assert br.ue() == v
+    for v in vals_se:
+        assert br.se() == v
+
+
+def test_synthetic_person_stats():
+    pc = make_person_cloud(bits=10, n_samples=500_000)
+    assert pc.point_count > 100_000
+    assert pc.positions.min() >= 0 and pc.positions.max() < 1024
+    # surface-like: no duplicate voxels
+    assert len(np.unique(pc.positions.astype(np.int64), axis=0)) == pc.point_count

@@ -1,0 +1,107 @@
+"""Kernel-level golden tests: KNN vs brute force, normals, segmentation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpcc_tpu.core.pointcloud import from_host
+from vpcc_tpu.ops import neighbors
+from vpcc_tpu.ops.normals import compute_normals, pca_normals
+from vpcc_tpu.ops.segmentation import (
+    ORIENTATIONS6,
+    get_orientations,
+    initial_segmentation,
+    refine_segmentation,
+)
+from vpcc_tpu.utils.ply import PointCloudData
+from vpcc_tpu.utils.synthetic import make_sphere_cloud
+
+
+def brute_force_knn(positions, queries, k):
+    d = queries[:, None, :].astype(np.int64) - positions[None, :, :].astype(np.int64)
+    d2 = (d * d).sum(-1)
+    idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    return idx, np.take_along_axis(d2, idx, axis=1)
+
+
+def test_knn_matches_brute_force_dense_region():
+    rng = np.random.default_rng(0)
+    # points concentrated so 3x3x3 cells always contain the true neighbors
+    pts = rng.integers(0, 64, size=(2000, 3)).astype(np.int32)
+    pts = np.unique(pts, axis=0)
+    pc = from_host(PointCloudData(pts), bucket=1024)
+    grid = neighbors.build_grid(pc.positions, grid_bits=6, cell_bits=2)
+    idx, d2 = neighbors.knn(grid, pc.positions, pc.positions, k=4, bucket=32, chunk=1024)
+    idx, d2 = np.asarray(idx)[: len(pts)], np.asarray(d2)[: len(pts)]
+    bf_idx, bf_d2 = brute_force_knn(pts, pts, 4)
+    # distances must match exactly (indices may differ on ties)
+    frac_equal = (np.sort(d2, 1) == np.sort(bf_d2, 1)).mean()
+    assert frac_equal > 0.97  # bounded-bucket truncation tolerance
+
+
+def test_knn_surface_cloud_self_nearest():
+    pc_h = make_sphere_cloud(bits=7, n_samples=20000)
+    pc = from_host(pc_h)
+    grid = neighbors.build_grid(pc.positions, grid_bits=7)
+    idx, d2 = neighbors.knn(grid, pc.positions, pc.positions, k=8)
+    n = pc_h.point_count
+    idx, d2 = np.asarray(idx)[:n], np.asarray(d2)[:n]
+    # nearest neighbor of each point is itself at distance 0
+    assert (d2[:, 0] == 0).all()
+    assert (idx[:, 0] == np.arange(n)).all()
+    # valid points have 8 true neighbors on a dense surface
+    assert (d2[:, 7] < neighbors.MAX_DIST2).mean() > 0.99
+
+
+def test_normals_on_sphere_point_radially():
+    pc_h = make_sphere_cloud(bits=7, n_samples=40000)
+    pc = from_host(pc_h)
+    grid = neighbors.build_grid(pc.positions, grid_bits=7)
+    idx, d2 = neighbors.knn(grid, pc.positions, pc.positions, k=16)
+    valid = pc.valid_mask()
+    nn_valid = (d2 < neighbors.MAX_DIST2) & valid[:, None]
+    nrm = compute_normals(pc.positions, idx, nn_valid, valid)
+    n = pc_h.point_count
+    nrm = np.asarray(nrm)[:n]
+    center = 64.0
+    radial = pc_h.positions.astype(np.float64) - center
+    radial /= np.maximum(np.linalg.norm(radial, axis=1, keepdims=True), 1e-9)
+    dots = (nrm * radial).sum(1)
+    # normals aligned (outward) with the radial direction for most points
+    assert (np.abs(dots) > 0.8).mean() > 0.95
+    assert (dots > 0).mean() > 0.95  # consensus orientation = outward
+
+
+def test_initial_segmentation_axis_normals():
+    normals = jnp.asarray(
+        np.array(
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0], [0, -1, 0], [0, 0, -1]],
+            np.float32,
+        )
+    )
+    orients = jnp.asarray(ORIENTATIONS6)
+    w = jnp.ones(6)
+    part = np.asarray(initial_segmentation(normals, orients, w))
+    np.testing.assert_array_equal(part, np.arange(6))
+
+
+def test_refine_segmentation_smooths_outliers():
+    # a plane of +Z normals with a few flipped points: refinement flips back
+    n = 256
+    rng = np.random.default_rng(1)
+    pts = np.stack(
+        [rng.integers(0, 16, n), rng.integers(0, 16, n), np.full(n, 8)], 1
+    ).astype(np.int32)
+    normals = np.tile(np.array([[0, 0, 1.0]], np.float32), (n, 1))
+    flip = rng.choice(n, 20, replace=False)
+    normals[flip] *= -1
+    part0 = np.full(n, 2, np.int32)
+    part0[flip] = 5
+    nn_idx, _ = brute_force_knn(pts, pts, 16)
+    nn_valid = np.ones_like(nn_idx, bool)
+    part = refine_segmentation(
+        jnp.asarray(normals), jnp.asarray(part0), jnp.asarray(nn_idx),
+        jnp.asarray(nn_valid), jnp.asarray(ORIENTATIONS6), 3.0, 10,
+    )
+    part = np.asarray(part)
+    assert (part == 2).mean() > 0.95

@@ -1,0 +1,82 @@
+"""PccAppEncoder equivalent: full encode driver.
+
+Reference: source/app/PccAppEncoder/PccAppEncoder.cpp:1015-1170 — parse
+options, loop over GOFs, encode, write sample stream, optional metrics.
+
+Usage:
+    python -m vpcc_tpu.apps.encode --config=<cfg> \
+        --uncompressedDataPath=path_%04d.ply --compressedStreamPath=out.vpcc \
+        --frameCount=N [--startFrameNumber=K]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from vpcc_tpu.encoder import Encoder
+from vpcc_tpu.ops.metrics import compute_metrics
+from vpcc_tpu.utils.config import VPCCConfig
+from vpcc_tpu.utils.ply import read_ply, write_ply
+
+
+def format_frame_path(template: str, index: int) -> str:
+    if "%" in template:
+        return template % index
+    return template
+
+
+def main(argv=None) -> int:
+    cfg = VPCCConfig.from_args(argv if argv is not None else sys.argv[1:])
+    if not cfg.uncompressedDataPath:
+        print("error: --uncompressedDataPath required", file=sys.stderr)
+        return 1
+    out_path = cfg.compressedStreamPath or "out.vpcc"
+
+    t0 = time.perf_counter()
+    all_stream = bytearray()
+    enc = Encoder(cfg)
+    gof = cfg.groupOfFramesSize
+    n_frames = cfg.frameCount
+    recon_paths = []
+    fidx = cfg.startFrameNumber
+    done = 0
+    while done < n_frames:
+        count = min(gof, n_frames - done)
+        frames = []
+        for i in range(count):
+            p = format_frame_path(cfg.uncompressedDataPath, fidx + i)
+            frames.append(read_ply(p))
+        stream, recons = enc.encode_gof(frames)
+        all_stream.extend(len(stream).to_bytes(8, "big"))
+        all_stream.extend(stream)
+        if cfg.reconstructedDataPath:
+            for i, r in enumerate(recons):
+                rp = format_frame_path(cfg.reconstructedDataPath, fidx + i)
+                write_ply(rp, r)
+                recon_paths.append(rp)
+        if cfg.computeMetrics:
+            for i, (src, rec) in enumerate(zip(frames, recons)):
+                m = compute_metrics(
+                    src.positions.astype(np.int32), src.colors,
+                    rec.positions.astype(np.int32), rec.colors,
+                    resolution=cfg.resolution,
+                    grid_bits=cfg.geometryBitDepth3D,
+                )
+                print(f"frame {fidx + i}: {m.summary()}")
+        done += count
+        fidx += count
+
+    Path(out_path).write_bytes(bytes(all_stream))
+    dt = time.perf_counter() - t0
+    total_pts = sum(s.point_count for s in enc.stats)
+    print(f"encoded {n_frames} frames, {len(all_stream)} bytes "
+          f"({len(all_stream) * 8 / max(total_pts, 1):.3f} bpp), {dt:.1f}s wall")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

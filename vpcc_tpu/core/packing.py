@@ -1,0 +1,157 @@
+"""Patch packing onto the atlas canvas.
+
+Behavioral reference: `PCCEncoder::packFlexible`
+(source/lib/PccLibEncoder/source/PCCEncoder.cpp:2306-2450): sort patches by
+size, first-fit raster scan over the block grid trying a preference-ordered
+list of orientations, growing the canvas height when nothing fits.
+
+TPU-era re-design: instead of the reference's per-position/per-block triple
+loop, each patch's valid placements are computed in ONE vectorized 2D
+correlation of the canvas block-occupancy with the patch footprint (exact
+per-block overlap test), then the first raster-order hit is chosen — same
+result, O(patches) passes.  Packing operates on block-level maps (~80x80),
+so it stays host-side; the heavy pixel rasterization is done on device.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+from scipy.signal import fftconvolve
+
+from vpcc_tpu.core.patch import (
+    ORIENT_DEFAULT,
+    ORIENT_HORIZONTAL,
+    ORIENT_SWAP,
+    ORIENT_VERTICAL,
+    Patch,
+)
+from vpcc_tpu.utils.config import VPCCConfig
+
+
+def _orient_footprint(block_occ: np.ndarray, orientation: int) -> np.ndarray:
+    """Patch block-occupancy footprint as placed on the canvas."""
+    if orientation == ORIENT_DEFAULT:
+        return block_occ
+    if orientation == ORIENT_SWAP:
+        return block_occ.T
+    if orientation == 2:  # ROT90
+        return np.rot90(block_occ, k=-1)
+    if orientation == 3:  # ROT180
+        return block_occ[::-1, ::-1]
+    if orientation == 4:  # ROT270
+        return np.rot90(block_occ, k=1)
+    if orientation == 5:  # MIRROR
+        return block_occ[:, ::-1]
+    if orientation == 6:  # MROT90
+        return np.rot90(block_occ[:, ::-1], k=-1)
+    if orientation == 7:  # MROT180
+        return block_occ[::-1, :]
+    raise ValueError(orientation)
+
+
+def _valid_positions(canvas: np.ndarray, fp: np.ndarray) -> np.ndarray:
+    """(H-h+1, W-w+1) bool map of placements with zero block overlap."""
+    h, w = fp.shape
+    H, W = canvas.shape
+    if h > H or w > W:
+        return np.zeros((0, 0), bool)
+    overlap = fftconvolve(canvas.astype(np.float32), fp[::-1, ::-1].astype(np.float32), mode="valid")
+    return overlap < 0.5
+
+
+def pack_flexible(
+    patches: List[Patch],
+    cfg: VPCCConfig,
+    preset_width: int = 0,
+    preset_height: int = 0,
+) -> Tuple[int, int]:
+    """Assign (u0, v0, orientation) to every patch.
+
+    Returns final (width, height) in pixels (multiples of 64 for the video
+    codec).  Mutates the patches in place, in sorted packing order.
+    """
+    res = cfg.occupancyResolution
+    strategy = cfg.packingStrategy
+    if strategy == 0:
+        patches.sort(key=lambda p: (-p.size_v, -p.size_u, p.index))
+    else:
+        patches.sort(
+            key=lambda p: (
+                -max(p.size_u0, p.size_v0),
+                -min(p.size_u0, p.size_v0),
+                p.index,
+            )
+        )
+
+    width_blk = max(cfg.minimumImageWidth if preset_width == 0 else preset_width, 64) // res
+    for p in patches:
+        width_blk = max(width_blk, p.size_u0 + 1)
+    height_blk = max((p.size_v0 for p in patches), default=1)
+    height_blk = max(height_blk, (cfg.minimumImageHeight if preset_height == 0 else preset_height) // res)
+
+    canvas = np.zeros((height_blk, width_blk), bool)
+
+    if strategy == 0:
+        orientations = [ORIENT_DEFAULT]
+    elif cfg.useEightOrientations:
+        orientations = None  # per-patch preference order
+    else:
+        orientations = None
+
+    for p in patches:
+        bo = p.block_occupancy()
+        if cfg.lowDelayEncoding:
+            # precedence mode (reference lowDelayEncoding, PCCEncoder.cpp
+            # :2421-2427): claim the FULL bounding rectangle so patch
+            # bounding boxes never overlap — this also guarantees the
+            # block-to-patch derivation is unambiguous.
+            bo = np.ones_like(bo)
+        if strategy == 0:
+            orients = [ORIENT_DEFAULT]
+        else:
+            pref = ORIENT_HORIZONTAL if p.size_u0 > p.size_v0 else ORIENT_VERTICAL
+            orients = pref[: (8 if cfg.useEightOrientations else 2)]
+
+        placed = False
+        while not placed:
+            # valid maps per orientation; combined first-fit in raster order
+            valids = []
+            for o in orients:
+                fp = _orient_footprint(bo, o)
+                valids.append((o, _valid_positions(canvas, fp), fp.shape))
+            best = None  # (v, u, orient_rank)
+            for rank, (o, vmap, shp) in enumerate(valids):
+                if vmap.size == 0 or not vmap.any():
+                    continue
+                flat = np.argmax(vmap)  # first True in raster order
+                vv, uu = divmod(int(flat), vmap.shape[1])
+                # argmax returns first max; ensure it is True
+                if not vmap[vv, uu]:
+                    continue
+                if best is None or (vv, uu, rank) < best:
+                    best = (vv, uu, rank)
+            if best is None:
+                canvas = np.concatenate([canvas, np.zeros_like(canvas)], axis=0)
+                height_blk = canvas.shape[0]
+                continue
+            vv, uu, rank = best
+            o, vmap, shp = valids[rank]
+            p.u0, p.v0, p.orientation = uu, vv, o
+            fp = _orient_footprint(bo, o)
+            canvas[vv : vv + fp.shape[0], uu : uu + fp.shape[1]] |= fp
+            placed = True
+
+    # actual used height (reference keeps max placed row, padded to preset)
+    used_rows = 0
+    for p in patches:
+        fw, fh = p.canvas_footprint()
+        used_rows = max(used_rows, p.v0 + fh)
+    height_blk = max(used_rows, (cfg.minimumImageHeight if preset_height == 0 else preset_height) // res)
+    # pad to multiple of 256 rows: video codecs want aligned dimensions, and
+    # a coarse height quantization keeps the per-shape XLA compile cache warm
+    # across frames (same policy as core.pointcloud.shape_bucket).
+    width = width_blk * res
+    height = ((height_blk * res + 255) // 256) * 256
+    return width, height

@@ -1,0 +1,136 @@
+"""V-PCC decoder pipeline (the PCCDecoder equivalent).
+
+Behavioral reference: `PCCDecoder::decode`
+(source/lib/PccLibDecoder/source/PCCDecoder.cpp:69-487): parse HLS ->
+decode video substreams -> block-to-patch -> generatePointCloud ->
+colorPointCloud -> post-process.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from vpcc_tpu.bitstream import v3c
+from vpcc_tpu.bitstream.bitio import BitReader
+from vpcc_tpu.core import atlas as atlas_mod
+from vpcc_tpu.core.patch import INFINITE_DEPTH, Patch
+from vpcc_tpu.ops import reconstruct
+from vpcc_tpu.utils.config import VPCCConfig
+from vpcc_tpu.utils.ply import PointCloudData
+from vpcc_tpu.video import codecs
+
+
+def _pdu_to_patch(pdu: v3c.PatchDataUnit, index: int, vps: v3c.V3CParameterSet) -> Patch:
+    from vpcc_tpu.ops.segmentation import VIEW_AXES
+
+    axes = VIEW_AXES[pdu.projection_id]
+    _, na, ta, ba, mode = (int(a) for a in axes)
+    size_d = 0 if pdu.range_d == 0 else pdu.range_d * vps.min_level - 1
+    dummy = np.full((1, 1), INFINITE_DEPTH, np.int32)
+    p = Patch(
+        index=index,
+        view_id=pdu.projection_id,
+        normal_axis=na,
+        tangent_axis=ta,
+        bitangent_axis=ba,
+        projection_mode=mode,
+        u1=pdu.offset_u,
+        v1=pdu.offset_v,
+        d1=pdu.offset_d * vps.min_level,
+        size_u=pdu.size_u,
+        size_v=pdu.size_v,
+        size_d=size_d,
+        occupancy_resolution=vps.occupancy_resolution,
+        depth0=dummy,
+        depth1=dummy,
+        u0=pdu.pos_x,
+        v0=pdu.pos_y,
+        orientation=pdu.orientation,
+        size_u0=pdu.size_x_m1 + 1,
+        size_v0=pdu.size_y_m1 + 1,
+    )
+    return p
+
+
+class Decoder:
+    def __init__(self, cfg: VPCCConfig | None = None):
+        self.cfg = cfg or VPCCConfig()
+
+    def decode(self, stream: bytes) -> List[PointCloudData]:
+        units = v3c.read_sample_stream(stream)
+        vps = None
+        tiles: List[v3c.AtlasTileLayer] = []
+        occ_sub = None
+        geo_subs = {}
+        attr_subs = {}
+        for utype, payload in units:
+            br = BitReader(payload)
+            if utype == v3c.V3C_VPS:
+                vps = v3c.V3CParameterSet.read(br)
+            elif utype == v3c.V3C_AD:
+                while br.more_data():
+                    t = v3c.AtlasTileLayer.read(br)
+                    if not t.patches and br.position >= len(payload):
+                        break
+                    tiles.append(t)
+            elif utype == v3c.V3C_OVD:
+                occ_sub = v3c.VideoSubstream.read(br)
+            elif utype == v3c.V3C_GVD:
+                s = v3c.VideoSubstream.read(br)
+                geo_subs[s.map_index] = s
+            elif utype == v3c.V3C_AVD:
+                s = v3c.VideoSubstream.read(br)
+                attr_subs[s.map_index] = s
+        assert vps is not None and occ_sub is not None
+
+        cfg = self.cfg
+        cfg.occupancyResolution = vps.occupancy_resolution
+        cfg.occupancyPrecision = vps.occupancy_precision
+
+        out: List[PointCloudData] = []
+        for fi in range(vps.frame_count):
+            patches = [
+                _pdu_to_patch(pdu, i, vps) for i, pdu in enumerate(tiles[fi].patches)
+            ]
+            occ_video = codecs.decode_occupancy(occ_sub.frames[fi], cfg)
+            occ = atlas_mod.upsample_occupancy(occ_video, vps.occupancy_precision)
+            height, width = occ.shape
+            geo = [
+                codecs.decode_geometry(geo_subs[m].frames[fi], cfg).astype(np.int32)
+                for m in sorted(geo_subs)
+            ]
+            attr = [
+                codecs.decode_attribute(attr_subs[m].frames[fi], cfg)
+                for m in sorted(attr_subs)
+            ]
+            btp = atlas_mod.derive_block_to_patch(
+                occ, patches, width, height, vps.occupancy_resolution
+            )
+            pts, valid, pixel_xy, _pid = reconstruct.generate_point_cloud(
+                jnp.asarray(occ),
+                jnp.asarray(geo[0]),
+                jnp.asarray(geo[1] if len(geo) > 1 else geo[0]),
+                jnp.asarray(btp),
+                jnp.asarray(atlas_mod.patch_table(patches)),
+                vps.occupancy_resolution,
+            )
+            pts_h = np.asarray(pts).reshape(-1, 3)
+            valid_h = np.asarray(valid).reshape(-1)
+            pix = np.repeat(np.asarray(pixel_xy), 2, axis=0)
+            layer = np.tile(np.array([0, 1], np.int32), len(valid_h) // 2)
+            sel = np.nonzero(valid_h)[0]
+            pos = pts_h[sel]
+            pix_s = pix[sel]
+            lay_s = layer[sel]
+            col = attr[0][pix_s[:, 1], pix_s[:, 0]]
+            if len(attr) > 1:
+                m1 = lay_s == 1
+                col[m1] = attr[1][pix_s[m1, 1], pix_s[m1, 0]]
+            pc = PointCloudData(pos, col.astype(np.uint8))
+            if cfg.removeDuplicatePoints:
+                pc = pc.remove_duplicates()
+            out.append(pc)
+        return out

@@ -1,0 +1,369 @@
+"""V-PCC encoder pipeline (the PCCEncoder equivalent).
+
+Behavioral reference: `PCCEncoder::encode`
+(source/lib/PccLibEncoder/source/PCCEncoder.cpp:71-730):
+segments -> pack -> occupancy video -> block-to-patch -> geometry video ->
+reconstruct -> recolor -> attribute video -> HLS.
+
+TPU-first structure: per-frame device programs (KNN/normals/segmentation/
+reconstruction/recolor) + host orchestration (connected components, packing,
+entropy/mux).  Frames of a GOF are independent in all-intra mode and are
+dispatched as a batch (parallel/ shards them over a device mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vpcc_tpu.bitstream import v3c
+from vpcc_tpu.bitstream.bitio import BitWriter
+from vpcc_tpu.core import atlas as atlas_mod
+from vpcc_tpu.core import packing
+from vpcc_tpu.core.patch import Patch, build_patch_from_component
+from vpcc_tpu.core.pointcloud import PAD_COORD, from_host, shape_bucket
+from vpcc_tpu.ops import cc as cc_mod
+from vpcc_tpu.ops import neighbors, normals as normals_mod, recolor, reconstruct
+from vpcc_tpu.ops.segmentation import (
+    get_orientations,
+    initial_segmentation,
+    refine_segmentation,
+)
+from vpcc_tpu.utils.config import VPCCConfig
+from vpcc_tpu.utils.ply import PointCloudData
+from vpcc_tpu.video import codecs
+
+
+@dataclasses.dataclass
+class EncodedFrame:
+    patches: List[Patch]
+    width: int
+    height: int
+    occupancy_payload: bytes
+    geometry_payloads: List[bytes]   # one per map
+    attribute_payloads: List[bytes]  # one per map
+    recon: PointCloudData            # encoder-side reconstruction
+
+
+@dataclasses.dataclass
+class EncoderStats:
+    segmentation_s: float = 0.0
+    patchgen_s: float = 0.0
+    packing_s: float = 0.0
+    video_s: float = 0.0
+    reconstruct_s: float = 0.0
+    total_s: float = 0.0
+    point_count: int = 0
+    patch_count: int = 0
+    compressed_bytes: int = 0
+
+
+class Encoder:
+    def __init__(self, cfg: VPCCConfig):
+        self.cfg = cfg
+        self.stats: List[EncoderStats] = []
+
+    # ------------------------------------------------------------------
+    def segment(self, pc_host: PointCloudData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Device segmentation stage: returns (partition (N,), nn_idx (N,K),
+        nn_valid (N,K)) on host for the N real points."""
+        cfg = self.cfg
+        n = pc_host.point_count
+        pc = from_host(pc_host)
+        bits = cfg.geometryBitDepth3D
+        grid = neighbors.build_grid(pc.positions, bits)
+        k = max(cfg.maxNNCountPatchSegmentation, cfg.nnNormalEstimation)
+        nn_idx, nn_d2 = neighbors.knn(grid, pc.positions, pc.positions, k=k)
+        valid_rows = pc.valid_mask()
+        nn_valid = (nn_d2 < neighbors.MAX_DIST2) & valid_rows[:, None]
+
+        nrm = normals_mod.compute_normals(pc.positions, nn_idx, nn_valid, valid_rows)
+        orients = jnp.asarray(get_orientations(cfg.additionalProjectionPlaneMode))
+        nw = np.ones(orients.shape[0], np.float32)
+        nw[0] = nw[3] = cfg.weightNormalX
+        nw[1] = nw[4] = cfg.weightNormalY
+        nw[2] = nw[5] = cfg.weightNormalZ
+        part = initial_segmentation(nrm, orients, jnp.asarray(nw))
+        part = refine_segmentation(
+            nrm, part, nn_idx, nn_valid, orients,
+            cfg.lambdaRefineSegmentation, cfg.iterationCountRefineSegmentation,
+        )
+        return (
+            np.asarray(part)[:n],
+            np.asarray(nn_idx)[:n],
+            np.asarray(nn_valid)[:n],
+        )
+
+    # ------------------------------------------------------------------
+    def generate_patches(
+        self,
+        pc_host: PointCloudData,
+        partition: np.ndarray,
+        nn_idx: np.ndarray,
+        nn_valid: np.ndarray,
+    ) -> List[Patch]:
+        """Patch rounds (reference 'while rawPoints' loop,
+        PCCPatchSegmenter.cpp:804-1320)."""
+        cfg = self.cfg
+        positions = np.asarray(pc_host.positions, np.int32)
+        colors = (
+            pc_host.colors
+            if pc_host.colors is not None
+            else np.zeros_like(positions, np.uint8)
+        )
+        n = positions.shape[0]
+        dist2 = np.full(n, np.inf)
+        patches: List[Patch] = []
+        for _round in range(4):
+            seeds = dist2 > cfg.maxAllowedDist2RawPointsDetection
+            active = dist2 > cfg.maxAllowedDist2RawPointsSelection
+            if not seeds.any():
+                break
+            comps = cc_mod.connected_components(
+                nn_idx, nn_valid, partition, active, seeds,
+                cfg.minPointCountPerCCPatchSegmentation,
+            )
+            if not comps:
+                break
+            new_patches = []
+            for comp in comps:
+                view_id = int(partition[comp[0]])
+                p = build_patch_from_component(
+                    len(patches) + len(new_patches), positions, colors, comp, view_id, cfg
+                )
+                if p is not None:
+                    new_patches.append(p)
+            if not new_patches:
+                break
+            patches.extend(new_patches)
+            # coverage update: distance of every point to the resampled cloud
+            res_pts = [pp for p in new_patches for pp in p.generate_points()[:2]]
+            res_pts = np.concatenate([r for r in res_pts if len(r)], axis=0)
+            cap = shape_bucket(len(res_pts))
+            rp = np.full((cap, 3), PAD_COORD, np.int32)
+            rp[: len(res_pts)] = res_pts
+            rp_dev = jnp.asarray(rp)
+            grid_r = neighbors.build_grid(rp_dev, cfg.geometryBitDepth3D)
+            qcap = shape_bucket(n)
+            q = np.full((qcap, 3), PAD_COORD, np.int32)
+            q[:n] = positions
+            _, d2 = neighbors.nearest(grid_r, rp_dev, jnp.asarray(q))
+            d2h = np.asarray(d2)[:n].astype(np.float64)
+            d2h[d2h >= float(neighbors.MAX_DIST2)] = np.inf
+            dist2 = np.minimum(dist2, d2h)
+        return patches
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, pc_host: PointCloudData) -> EncodedFrame:
+        cfg = self.cfg
+        st = EncoderStats(point_count=pc_host.point_count)
+        t0 = time.perf_counter()
+
+        partition, nn_idx, nn_valid = self.segment(pc_host)
+        st.segmentation_s = time.perf_counter() - t0
+
+        t = time.perf_counter()
+        patches = self.generate_patches(pc_host, partition, nn_idx, nn_valid)
+        st.patchgen_s = time.perf_counter() - t
+
+        t = time.perf_counter()
+        width, height = packing.pack_flexible(patches, cfg)
+        frame = atlas_mod.rasterize_frame(patches, width, height, cfg)
+        st.packing_s = time.perf_counter() - t
+
+        # --- occupancy video (lossless, at 1/precision resolution)
+        t = time.perf_counter()
+        occ_video = atlas_mod.downsample_occupancy(frame.occupancy, cfg.occupancyPrecision)
+        occ_payload = codecs.encode_occupancy(occ_video, cfg)
+        occ_dec = codecs.decode_occupancy(occ_payload, cfg)
+        occ_rec = atlas_mod.upsample_occupancy(occ_dec, cfg.occupancyPrecision)
+
+        # block-to-patch from DECODED occupancy (same derivation as decoder)
+        btp = atlas_mod.derive_block_to_patch(
+            occ_rec, patches, width, height, cfg.occupancyResolution
+        )
+
+        # --- geometry videos
+        geo_fill0 = _fill_unoccupied(frame.geometry0, frame.occupancy, occ_rec)
+        geo_fill1 = _fill_unoccupied(frame.geometry1, frame.occupancy, occ_rec)
+        geo_payloads = [
+            codecs.encode_geometry(geo_fill0, cfg),
+            codecs.encode_geometry(geo_fill1, cfg),
+        ]
+        geo_dec = [codecs.decode_geometry(p, cfg) for p in geo_payloads]
+        st.video_s = time.perf_counter() - t
+
+        # --- reconstruction (device) from decoded maps
+        t = time.perf_counter()
+        pts, valid, pixel_xy, _pid = reconstruct.generate_point_cloud(
+            jnp.asarray(occ_rec),
+            jnp.asarray(geo_dec[0].astype(np.int32)),
+            jnp.asarray(geo_dec[1].astype(np.int32)),
+            jnp.asarray(btp),
+            jnp.asarray(atlas_mod.patch_table(patches)),
+            cfg.occupancyResolution,
+        )
+        pts_h = np.asarray(pts)
+        valid_h = np.asarray(valid)
+        pix_h = np.asarray(pixel_xy)
+
+        # compact reconstructed points
+        flat_pts = pts_h.reshape(-1, 3)
+        flat_valid = valid_h.reshape(-1)
+        layer = np.tile(np.array([0, 1], np.int32), pts_h.shape[0])
+        pix_rep = np.repeat(pix_h, 2, axis=0)
+        sel = np.nonzero(flat_valid)[0]
+        rec_pos = flat_pts[sel]
+        rec_pix = pix_rep[sel]
+        rec_layer = layer[sel]
+        st.reconstruct_s = time.perf_counter() - t
+
+        # --- recolor (device KNN against source)
+        t = time.perf_counter()
+        src_cap = shape_bucket(pc_host.point_count)
+        sp = np.full((src_cap, 3), PAD_COORD, np.int32)
+        sp[: pc_host.point_count] = pc_host.positions.astype(np.int32)
+        sc = np.zeros((src_cap, 3), np.int32)
+        if pc_host.colors is not None:
+            sc[: pc_host.point_count] = pc_host.colors
+        rec_cap = shape_bucket(len(rec_pos))
+        tp = np.full((rec_cap, 3), PAD_COORD, np.int32)
+        tp[: len(rec_pos)] = rec_pos
+        rec_col = recolor.transfer_colors(
+            jnp.asarray(sp), jnp.asarray(sc), jnp.asarray(pc_host.point_count),
+            jnp.asarray(tp), jnp.asarray(len(rec_pos)),
+            grid_bits=cfg.geometryBitDepth3D,
+            k=cfg.numNeighborsColorTransferFwd,
+        )
+        rec_col = np.asarray(rec_col)[: len(rec_pos)].astype(np.uint8)
+
+        # --- attribute videos: paint per-pixel per-layer
+        attr = np.zeros((2, height, width, 3), np.uint8)
+        for ly in (0, 1):
+            m = rec_layer == ly
+            attr[ly, rec_pix[m, 1], rec_pix[m, 0]] = rec_col[m]
+        # layer 1 pixels with no distinct point reuse layer 0 color
+        only0 = np.ones((height, width), bool)
+        m1 = rec_layer == 1
+        only0[rec_pix[m1, 1], rec_pix[m1, 0]] = False
+        attr[1][only0] = attr[0][only0]
+        attr_payloads = [codecs.encode_attribute(attr[ly], cfg) for ly in (0, 1)]
+        attr_dec = [codecs.decode_attribute(p, cfg) for p in attr_payloads]
+        # encoder-side recon colors = decoded attribute at each point's pixel
+        rec_col_dec = attr_dec[0][rec_pix[:, 1], rec_pix[:, 0]]
+        m1 = rec_layer == 1
+        rec_col_dec[m1] = attr_dec[1][rec_pix[m1, 1], rec_pix[m1, 0]]
+        st.video_s += time.perf_counter() - t
+
+        recon_pc = PointCloudData(rec_pos, rec_col_dec)
+        if cfg.removeDuplicatePoints:
+            recon_pc = recon_pc.remove_duplicates()
+
+        st.patch_count = len(patches)
+        st.total_s = time.perf_counter() - t0
+        self.stats.append(st)
+
+        return EncodedFrame(
+            patches=patches,
+            width=width,
+            height=height,
+            occupancy_payload=occ_payload,
+            geometry_payloads=geo_payloads,
+            attribute_payloads=attr_payloads,
+            recon=recon_pc,
+        )
+
+    # ------------------------------------------------------------------
+    def encode_gof(self, frames: List[PointCloudData]) -> Tuple[bytes, List[PointCloudData]]:
+        """Encode a group of frames into one V3C sample stream."""
+        cfg = self.cfg
+        encoded = [self.encode_frame(f) for f in frames]
+        width = max(e.width for e in encoded)
+        height = max(e.height for e in encoded)
+
+        vps = v3c.V3CParameterSet(
+            frame_width=width,
+            frame_height=height,
+            frame_count=len(frames),
+            occupancy_resolution=cfg.occupancyResolution,
+            occupancy_precision=cfg.occupancyPrecision,
+            geometry_2d_bitdepth=cfg.geometryBitDepth2D,
+            geometry_3d_bitdepth=cfg.geometryBitDepth3D,
+            map_count_minus1=cfg.mapCountMinus1,
+            min_level=cfg.minLevel,
+        )
+        bw = BitWriter()
+        vps.write(bw)
+        units = [(v3c.V3C_VPS, bw.getvalue())]
+
+        # atlas data: one tile layer per frame
+        bw = BitWriter()
+        for fi, e in enumerate(encoded):
+            tile = v3c.AtlasTileLayer(
+                frame_index=fi,
+                patches=[_patch_to_pdu(p, cfg) for p in e.patches],
+            )
+            tile.write(bw)
+        units.append((v3c.V3C_AD, bw.getvalue()))
+
+        # frame dims per frame (padded to common size on decode)
+        for unit_type, payload_lists in (
+            (v3c.V3C_OVD, [[e.occupancy_payload for e in encoded]]),
+            (v3c.V3C_GVD, [[e.geometry_payloads[m] for e in encoded] for m in range(2)]),
+            (v3c.V3C_AVD, [[e.attribute_payloads[m] for e in encoded] for m in range(2)]),
+        ):
+            for mi, plist in enumerate(payload_lists):
+                bw = BitWriter()
+                v3c.VideoSubstream(unit_type, mi, plist).write(bw)
+                units.append((unit_type, bw.getvalue()))
+
+        stream = v3c.write_sample_stream(units)
+        for s in self.stats[-len(frames):]:
+            s.compressed_bytes = len(stream) // len(frames)
+        return stream, [e.recon for e in encoded]
+
+
+def _patch_to_pdu(p: Patch, cfg: VPCCConfig) -> v3c.PatchDataUnit:
+    quant_dd = 0 if p.size_d == 0 else (p.size_d + 1) // cfg.minLevel
+    return v3c.PatchDataUnit(
+        pos_x=p.u0,
+        pos_y=p.v0,
+        size_x_m1=p.size_u0 - 1,
+        size_y_m1=p.size_v0 - 1,
+        offset_u=p.u1,
+        offset_v=p.v1,
+        offset_d=p.d1 // cfg.minLevel,
+        range_d=quant_dd,
+        projection_id=p.view_id,
+        orientation=p.orientation,
+        size_u=p.size_u,
+        size_v=p.size_v,
+    )
+
+
+def _fill_unoccupied(
+    geo: np.ndarray, occ_real: np.ndarray, occ_expanded: np.ndarray, iters: int = 6
+) -> np.ndarray:
+    """Fill geometry in precision-expanded (padded) pixels by iterative
+    nearest-neighbor dilation from real pixels, so decoder-generated padding
+    points stay attached to the surface (never mid-air block averages).
+    Stands in for the reference's sparse-linear dilation
+    (PCCEncoder.cpp:5772); push-pull padding arrives with the video codec."""
+    out = geo.copy()
+    filled = occ_real.astype(bool).copy()
+    for _ in range(iters):
+        need = (occ_expanded > 0) & ~filled
+        if not need.any():
+            break
+        for shift, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+            src_val = np.roll(out, shift, axis=axis)
+            src_ok = np.roll(filled, shift, axis=axis)
+            take = need & src_ok
+            out[take] = src_val[take]
+            filled |= take
+            need &= ~take
+    return out

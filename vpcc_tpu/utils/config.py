@@ -1,0 +1,268 @@
+"""Config system: TMC2-compatible key names + layered cfg files.
+
+The reference composes 4 cfg layers (common/condition/sequence/rate) through
+program-options-lite with last-value-wins semantics
+(reference: dependencies/program-options-lite/program_options_lite.h,
+doc/README.usage.md:30-34).  We keep the same key names so CTC cfg trees run
+unmodified, but expose them as a typed dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+
+def _intlist(s: str) -> List[int]:
+    return [int(x) for x in s.split(",") if x != ""]
+
+
+@dataclass
+class VPCCConfig:
+    """Encoder/decoder parameters.
+
+    Field names follow the reference option names
+    (reference: source/app/PccAppEncoder/PccAppEncoder.cpp:118-1010,
+    source/lib/PccLibEncoder/include/PCCEncoderParameters.h:42-342).
+    Only implemented options are listed; unknown cfg keys are preserved in
+    `extra` so full CTC files parse cleanly.
+    """
+
+    # --- source ---
+    uncompressedDataPath: str = ""
+    compressedStreamPath: str = ""
+    reconstructedDataPath: str = ""
+    configurationFolder: str = ""
+    uncompressedDataFolder: str = ""
+    frameCount: int = 1
+    startFrameNumber: int = 0
+    groupOfFramesSize: int = 32
+    geometry3dCoordinatesBitdepth: int = 10
+    geometryNominal2dBitdepth: int = 8
+
+    # --- segmentation ---
+    gridBasedSegmentation: int = 0
+    voxelDimensionGridBasedSegmentation: int = 2
+    nnNormalEstimation: int = 16
+    normalOrientation: int = 1
+    gridBasedRefineSegmentation: int = 1
+    maxNNCountRefineSegmentation: int = 1024
+    iterationCountRefineSegmentation: int = 10
+    voxelDimensionRefineSegmentation: int = 4
+    searchRadiusRefineSegmentation: int = 192
+    occupancyResolution: int = 16
+    minPointCountPerCCPatchSegmentation: int = 16
+    maxNNCountPatchSegmentation: int = 16
+    surfaceThickness: int = 4
+    minLevel: int = 64
+    maxAllowedDepth: int = 255
+    maxAllowedDist2RawPointsDetection: float = 9.0
+    maxAllowedDist2RawPointsSelection: float = 1.0
+    lambdaRefineSegmentation: float = 3.0
+    additionalProjectionPlaneMode: int = 0
+    partialAdditionalProjectionPlane: float = 0.0
+    enablePatchSplitting: int = 1
+    maxPatchSize: int = 1024
+    weightNormalX: float = 1.0
+    weightNormalY: float = 1.0
+    weightNormalZ: float = 1.0
+
+    # --- packing ---
+    minimumImageWidth: int = 1280
+    minimumImageHeight: int = 1280
+    packingStrategy: int = 1
+    useEightOrientations: int = 0
+    safeGuardDistance: int = 0
+    # NOTE: defaults to 1 (full-rectangle precedence packing) until the
+    # candidate-based block disambiguation lands: it guarantees patch
+    # bounding boxes never overlap, so block-to-patch is unambiguous.
+    lowDelayEncoding: int = 1
+
+    # --- occupancy ---
+    occupancyPrecision: int = 4
+    occupancyMapConfig: str = ""
+    maxCandidateCount: int = 4
+
+    # --- maps / layers ---
+    mapCountMinus1: int = 1
+    singleMapPixelInterleaving: int = 0
+    absoluteD1: int = 1
+    enhancedOccupancyMapCode: int = 0
+    EOMFixBitCount: int = 2
+    removeDuplicatePoints: int = 1
+    pointLocalReconstruction: int = 0
+    surfaceSeparation: int = 0
+    highGradientSeparation: int = 0
+
+    # --- video codec ---
+    geometryQP: int = 24
+    attributeQP: int = 32
+    auxGeometryQP: int = 0
+    auxAttributeQP: int = 0
+    geometryConfig: str = ""
+    attributeConfig: str = ""
+    rawPointsPatch: int = 0
+    lossyRawPointsPatch: int = 0
+    videoEncoderOccupancyCodecId: int = 0
+    videoEncoderGeometryCodecId: int = 0
+    videoEncoderAttributeCodecId: int = 0
+
+    # --- GOP structure ---
+    constrainedPack: int = 1
+    globalPatchAllocation: int = 0
+
+    # --- padding / dilation ---
+    groupDilation: int = 1
+    geometryPadding: int = 0
+
+    # --- smoothing ---
+    flagGeometrySmoothing: int = 1
+    gridSmoothing: int = 1
+    gridSize: int = 8
+    thresholdSmoothing: float = 64.0
+    flagColorSmoothing: int = 0
+    thresholdColorSmoothing: float = 10.0
+    cgridSize: int = 4
+    thresholdColorDifference: float = 10.0
+    thresholdColorVariation: float = 6.0
+
+    # --- color transfer / pre-smoothing ---
+    colorTransform: int = 0
+    bestColorSearchRange: int = 0
+    numNeighborsColorTransferFwd: int = 8
+    numNeighborsColorTransferBwd: int = 1
+    useDistWeightedAverageFwd: int = 1
+    useDistWeightedAverageBwd: int = 1
+    skipAvgIfIdenticalSourcePointPresentFwd: int = 1
+    skipAvgIfIdenticalSourcePointPresentBwd: int = 1
+    distOffsetFwd: float = 4.0
+    distOffsetBwd: float = 4.0
+    maxGeometryDist2Fwd: float = 1000.0
+    maxGeometryDist2Bwd: float = 1000.0
+    maxColorDist2Fwd: float = 1000.0
+    maxColorDist2Bwd: float = 1000.0
+    flagColorPreSmoothing: int = 1
+    thresholdColorPreSmoothing: float = 10.0
+    thresholdColorPreSmoothingLocalEntropy: float = 4.5
+    radius2ColorPreSmoothing: float = 64.0
+    neighborCountColorPreSmoothing: int = 64
+
+    # --- ROI / tiles ---
+    enablePointCloudPartitioning: int = 0
+    roiBoundingBoxMinX: List[int] = field(default_factory=list)
+    roiBoundingBoxMaxX: List[int] = field(default_factory=list)
+    roiBoundingBoxMinY: List[int] = field(default_factory=list)
+    roiBoundingBoxMaxY: List[int] = field(default_factory=list)
+    roiBoundingBoxMinZ: List[int] = field(default_factory=list)
+    roiBoundingBoxMaxZ: List[int] = field(default_factory=list)
+    numTilesHor: int = 2
+    tileHeightToWidthRatio: float = 1.0
+    numCutsAlong1stLongestAxis: int = 0
+    numCutsAlong2ndLongestAxis: int = 0
+    numCutsAlong3rdLongestAxis: int = 0
+    tileSegmentationType: int = 0
+
+    # --- metrics ---
+    computeMetrics: int = 1
+    computeChecksum: int = 1
+    resolution: int = 1023
+    normalDataPath: str = ""
+
+    # --- misc ---
+    nbThread: int = 1
+    keepIntermediateFiles: int = 0
+    profileReconstructionIdc: int = 1
+    minNormSumOfInvDist4MPSelection: float = 0.35
+
+    # unknown-but-parsed keys (full CTC files load without error)
+    extra: Dict[str, str] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @property
+    def geometryBitDepth3D(self) -> int:
+        return self.geometry3dCoordinatesBitdepth
+
+    @property
+    def geometryBitDepth2D(self) -> int:
+        return self.geometryNominal2dBitdepth
+
+    @property
+    def weightNormal(self):
+        return (self.weightNormalX, self.weightNormalY, self.weightNormalZ)
+
+    # ------------------------------------------------------------------
+    _FIELD_TYPES = None  # class-level cache
+
+    @classmethod
+    def _field_types(cls):
+        if cls._FIELD_TYPES is None:
+            cls._FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(cls)}
+        return cls._FIELD_TYPES
+
+    def set_option(self, key: str, value: str) -> None:
+        """Set one option from its textual value (cfg file or CLI)."""
+        types = self._field_types()
+        if key not in types or key == "extra":
+            self.extra[key] = value
+            return
+        t = types[key]
+        value = value.strip()
+        if t in ("int", int):
+            setattr(self, key, int(float(value)))
+        elif t in ("float", float):
+            setattr(self, key, float(value))
+        elif t in ("str", str):
+            setattr(self, key, value)
+        elif "List" in str(t) or "list" in str(t):
+            setattr(self, key, _intlist(value))
+        else:  # pragma: no cover
+            self.extra[key] = value
+
+    def load_cfg(self, path: str | Path) -> "VPCCConfig":
+        """Load one cfg file (last-value-wins layering: call repeatedly)."""
+        text = Path(path).read_text()
+        for line in text.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            m = re.match(r"^(--)?([A-Za-z0-9_]+)\s*[:=]?\s*(.*)$", line)
+            if not m:
+                continue
+            key, value = m.group(2), m.group(3).strip()
+            if value == "":
+                continue
+            self.set_option(key, value)
+        return self
+
+    @classmethod
+    def from_cfg_files(cls, *paths: str | Path, overrides: Optional[Dict[str, Any]] = None) -> "VPCCConfig":
+        cfg = cls()
+        for p in paths:
+            cfg.load_cfg(p)
+        for k, v in (overrides or {}).items():
+            if isinstance(v, str):
+                cfg.set_option(k, v)
+            else:
+                setattr(cfg, k, v)
+        return cfg
+
+    @classmethod
+    def from_args(cls, argv: List[str]) -> "VPCCConfig":
+        """Parse `--key=value` / `--config=file` CLI arguments, in order."""
+        cfg = cls()
+        for a in argv:
+            if not a.startswith("--"):
+                continue
+            body = a[2:]
+            if "=" in body:
+                k, v = body.split("=", 1)
+            else:
+                k, v = body, "1"
+            if k in ("config", "c"):
+                cfg.load_cfg(v)
+            else:
+                cfg.set_option(k, v)
+        return cfg

@@ -1,0 +1,55 @@
+"""Video-codec dispatch (the PCCVirtualVideoEncoder factory equivalent).
+
+Reference: `PCCVirtualVideoEncoder<T>::create(codecId)`
+(source/lib/PccLibVideoEncoder/include/PCCVirtualVideoEncoder.h:67-74)
+selects HM/JM/VTM/...; here the codec id (signalled in our VPS) selects
+between the TPU-native transform codec and the lossless fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vpcc_tpu.bitstream import v3c
+from vpcc_tpu.utils.config import VPCCConfig
+from vpcc_tpu.video import lossless
+
+
+def encode_occupancy(occ_video: np.ndarray, cfg: VPCCConfig) -> bytes:
+    return lossless.encode_plane(occ_video.astype(np.uint8))
+
+
+def decode_occupancy(payload: bytes, cfg: VPCCConfig) -> np.ndarray:
+    return lossless.decode_plane(payload)
+
+
+def encode_geometry(geo: np.ndarray, cfg: VPCCConfig) -> bytes:
+    from vpcc_tpu.video import intra
+    if cfg.geometryQP <= 4 or not intra.AVAILABLE:
+        return bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(geo.astype(np.uint16))
+    return bytes([v3c.CODEC_TPU_INTRA]) + intra.encode_frame_mono(
+        geo.astype(np.int32), qp=cfg.geometryQP, bitdepth=cfg.geometryBitDepth2D
+    )
+
+
+def decode_geometry(payload: bytes, cfg: VPCCConfig) -> np.ndarray:
+    from vpcc_tpu.video import intra
+    codec = payload[0]
+    if codec == v3c.CODEC_LOSSLESS_ZLIB:
+        return lossless.decode_plane(payload[1:])
+    return intra.decode_frame_mono(payload[1:]).astype(np.uint16)
+
+
+def encode_attribute(attr: np.ndarray, cfg: VPCCConfig) -> bytes:
+    from vpcc_tpu.video import intra
+    if cfg.attributeQP <= 4 or not intra.AVAILABLE:
+        return bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(attr.astype(np.uint8))
+    return bytes([v3c.CODEC_TPU_INTRA]) + intra.encode_frame_rgb(attr, qp=cfg.attributeQP)
+
+
+def decode_attribute(payload: bytes, cfg: VPCCConfig) -> np.ndarray:
+    from vpcc_tpu.video import intra
+    codec = payload[0]
+    if codec == v3c.CODEC_LOSSLESS_ZLIB:
+        return lossless.decode_plane(payload[1:])
+    return intra.decode_frame_rgb(payload[1:])
