@@ -1,0 +1,263 @@
+// Adaptive binary arithmetic coder + coefficient/occupancy syntax.
+//
+// Native entropy backend for the TPU video codec (vpcc_tpu/video/intra.py).
+// Plays the role HM's CABAC plays for the reference's video substreams
+// (reference: dependencies/hm-modification/... TEncBinCABAC) — the TPU does
+// transform/quant/prediction; the bit-serial arithmetic coding finalizes
+// here on the host.
+//
+// Engine: LZMA-style carry-counting range coder, 11-bit adaptive
+// probabilities with shift-5 update. Coefficient syntax per 8x8 block
+// (zigzag order, DC already DPCM'd): cbf flag; per-position significance
+// (banded contexts); sign (bypass); greater-1 flag; remaining level as
+// order-0 Exp-Golomb in bypass bins.
+//
+// Build: g++ -O3 -shared -fPIC entropy.cpp -o libvpccentropy.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kTop = 1u << 24;
+constexpr uint16_t kHalf = 1024;  // 11-bit probability space
+
+struct Encoder {
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint8_t cache = 0;
+  uint64_t cache_size = 1;
+  std::vector<uint8_t> out;
+
+  void shift_low() {
+    if ((uint32_t)(low >> 32) != 0 || (uint32_t)low < 0xFF000000u) {
+      uint8_t carry = (uint8_t)(low >> 32);
+      do {
+        out.push_back((uint8_t)(cache + carry));
+        cache = 0xFF;
+      } while (--cache_size);
+      cache = (uint8_t)(low >> 24);
+    }
+    cache_size++;
+    low = (low << 8) & 0xFFFFFFFFu;
+  }
+
+  void bit(int b, uint16_t* p) {
+    uint32_t bound = (range >> 11) * (*p);
+    if (!b) {
+      range = bound;
+      *p += (2048 - *p) >> 5;
+    } else {
+      low += bound;
+      range -= bound;
+      *p -= *p >> 5;
+    }
+    while (range < kTop) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+
+  void bypass(int b) {
+    range >>= 1;
+    if (b) low += range;
+    while (range < kTop) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+
+  // order-0 Exp-Golomb of v >= 0 in bypass bins
+  void eg0(uint32_t v) {
+    uint32_t x = v + 1;
+    int n = 0;
+    while ((x >> n) > 1) n++;
+    for (int i = 0; i < n; i++) bypass(1);
+    bypass(0);
+    for (int i = n - 1; i >= 0; i--) bypass((x >> i) & 1);
+  }
+
+  void flush() {
+    for (int i = 0; i < 5; i++) shift_low();
+  }
+};
+
+struct Decoder {
+  const uint8_t* in;
+  size_t size;
+  size_t pos = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t code = 0;
+
+  void init(const uint8_t* data, size_t n) {
+    in = data;
+    size = n;
+    pos = 1;  // first byte emitted by the encoder is always 0
+    code = 0;
+    for (int i = 0; i < 4; i++) code = (code << 8) | next();
+  }
+
+  uint8_t next() { return pos < size ? in[pos++] : 0; }
+
+  int bit(uint16_t* p) {
+    uint32_t bound = (range >> 11) * (*p);
+    int b;
+    if (code < bound) {
+      range = bound;
+      *p += (2048 - *p) >> 5;
+      b = 0;
+    } else {
+      code -= bound;
+      range -= bound;
+      *p -= *p >> 5;
+      b = 1;
+    }
+    while (range < kTop) {
+      range <<= 8;
+      code = (code << 8) | next();
+    }
+    return b;
+  }
+
+  int bypass() {
+    range >>= 1;
+    int b = 0;
+    if (code >= range) {
+      code -= range;
+      b = 1;
+    }
+    while (range < kTop) {
+      range <<= 8;
+      code = (code << 8) | next();
+    }
+    return b;
+  }
+
+  uint32_t eg0() {
+    int n = 0;
+    while (bypass()) n++;
+    uint32_t x = 1;
+    for (int i = 0; i < n; i++) x = (x << 1) | bypass();
+    return x - 1;
+  }
+};
+
+// significance-context band per zigzag position
+inline int band(int i) {
+  if (i == 0) return 0;
+  if (i < 4) return i;  // 1..3
+  if (i < 8) return 4;
+  if (i < 16) return 5;
+  if (i < 24) return 6;
+  if (i < 36) return 7;
+  if (i < 50) return 8;
+  return 9;
+}
+
+struct CoeffContexts {
+  uint16_t cbf = kHalf;
+  uint16_t sig[10];
+  uint16_t gt1[10];
+  CoeffContexts() {
+    for (int i = 0; i < 10; i++) sig[i] = gt1[i] = kHalf;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// coeffs: nblocks x 64 int32 (zigzag). Returns byte count written to out
+// (capacity must be generous; returns -1 on overflow).
+int64_t vpcc_encode_coeffs(const int32_t* coeffs, int64_t nblocks,
+                           uint8_t* out, int64_t capacity) {
+  Encoder enc;
+  enc.out.reserve((size_t)nblocks * 8);
+  CoeffContexts ctx;
+  for (int64_t b = 0; b < nblocks; b++) {
+    const int32_t* c = coeffs + b * 64;
+    int any = 0;
+    for (int i = 0; i < 64; i++) any |= (c[i] != 0);
+    enc.bit(any, &ctx.cbf);
+    if (!any) continue;
+    for (int i = 0; i < 64; i++) {
+      int32_t v = c[i];
+      int bd = band(i);
+      enc.bit(v != 0, &ctx.sig[bd]);
+      if (v != 0) {
+        uint32_t mag = (uint32_t)(v < 0 ? -(int64_t)v : v);
+        enc.bypass(v < 0);
+        enc.bit(mag > 1, &ctx.gt1[bd]);
+        if (mag > 1) enc.eg0(mag - 2);
+      }
+    }
+  }
+  enc.flush();
+  if ((int64_t)enc.out.size() > capacity) return -1;
+  std::memcpy(out, enc.out.data(), enc.out.size());
+  return (int64_t)enc.out.size();
+}
+
+int64_t vpcc_decode_coeffs(const uint8_t* data, int64_t size, int32_t* coeffs,
+                           int64_t nblocks) {
+  Decoder dec;
+  dec.init(data, (size_t)size);
+  CoeffContexts ctx;
+  std::memset(coeffs, 0, (size_t)nblocks * 64 * sizeof(int32_t));
+  for (int64_t b = 0; b < nblocks; b++) {
+    int32_t* c = coeffs + b * 64;
+    if (!dec.bit(&ctx.cbf)) continue;
+    for (int i = 0; i < 64; i++) {
+      int bd = band(i);
+      if (dec.bit(&ctx.sig[bd])) {
+        int neg = dec.bypass();
+        uint32_t mag = 1;
+        if (dec.bit(&ctx.gt1[bd])) mag = 2 + dec.eg0();
+        c[i] = neg ? -(int32_t)mag : (int32_t)mag;
+      }
+    }
+  }
+  return 0;
+}
+
+// Binary plane (occupancy video): context from decoded left/top/topleft.
+int64_t vpcc_encode_binary_plane(const uint8_t* plane, int64_t h, int64_t w,
+                                 uint8_t* out, int64_t capacity) {
+  Encoder enc;
+  uint16_t ctx[8];
+  for (int i = 0; i < 8; i++) ctx[i] = kHalf;
+  for (int64_t y = 0; y < h; y++) {
+    for (int64_t x = 0; x < w; x++) {
+      int left = x > 0 ? plane[y * w + x - 1] : 0;
+      int top = y > 0 ? plane[(y - 1) * w + x] : 0;
+      int tl = (x > 0 && y > 0) ? plane[(y - 1) * w + x - 1] : 0;
+      int k = left | (top << 1) | (tl << 2);
+      enc.bit(plane[y * w + x] != 0, &ctx[k]);
+    }
+  }
+  enc.flush();
+  if ((int64_t)enc.out.size() > capacity) return -1;
+  std::memcpy(out, enc.out.data(), enc.out.size());
+  return (int64_t)enc.out.size();
+}
+
+int64_t vpcc_decode_binary_plane(const uint8_t* data, int64_t size,
+                                 uint8_t* plane, int64_t h, int64_t w) {
+  Decoder dec;
+  dec.init(data, (size_t)size);
+  uint16_t ctx[8];
+  for (int i = 0; i < 8; i++) ctx[i] = kHalf;
+  for (int64_t y = 0; y < h; y++) {
+    for (int64_t x = 0; x < w; x++) {
+      int left = x > 0 ? plane[y * w + x - 1] : 0;
+      int top = y > 0 ? plane[(y - 1) * w + x] : 0;
+      int tl = (x > 0 && y > 0) ? plane[(y - 1) * w + x - 1] : 0;
+      int k = left | (top << 1) | (tl << 2);
+      plane[y * w + x] = (uint8_t)dec.bit(&ctx[k]);
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -22,6 +22,8 @@ def small_cfg(**kw):
     cfg.minimumImageHeight = 128
     cfg.resolution = 127
     cfg.iterationCountRefineSegmentation = 10
+    cfg.geometryQP = 4   # lossless video path: isolates projection loss
+    cfg.attributeQP = 4
     for k, v in kw.items():
         setattr(cfg, k, v)
     return cfg
@@ -86,3 +88,28 @@ def test_torus_roundtrip_quality():
         resolution=127, grid_bits=7,
     )
     assert m.c2c_psnr > 42.0, m.summary()
+
+
+def test_lossy_codec_roundtrip_rate_quality():
+    """Full lossy path: TPU intra codec on geometry+attribute."""
+    cfg = small_cfg(geometryQP=22, attributeQP=30)
+    src = make_sphere_cloud(bits=7, n_samples=25000)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof([src])
+    decoded = Decoder().decode(stream)
+    m = compute_metrics(
+        src.positions.astype(np.int32), src.colors,
+        decoded[0].positions.astype(np.int32), decoded[0].colors,
+        resolution=127, grid_bits=7,
+    )
+    bpp = len(stream) * 8 / src.point_count
+    # lossy codec must compress far below the lossless path while keeping
+    # reasonable geometry quality
+    assert bpp < 20.0, bpp
+    assert m.c2c_psnr > 30.0, m.summary()
+    assert m.color_psnr[0] > 20.0, m.summary()
+    # decoder still matches encoder-side reconstruction exactly
+    a, b = recons[0], decoded[0]
+    assert a.point_count == b.point_count
+    ka = np.lexsort(a.positions.T); kb = np.lexsort(b.positions.T)
+    np.testing.assert_array_equal(a.positions[ka], b.positions[kb])

@@ -27,7 +27,7 @@ from vpcc_tpu.core import packing
 from vpcc_tpu.core.patch import Patch, build_patch_from_component
 from vpcc_tpu.core.pointcloud import PAD_COORD, from_host, shape_bucket
 from vpcc_tpu.ops import cc as cc_mod
-from vpcc_tpu.ops import neighbors, normals as normals_mod, recolor, reconstruct
+from vpcc_tpu.ops import neighbors, normals as normals_mod, padding as padding_mod, recolor, reconstruct
 from vpcc_tpu.ops.segmentation import (
     get_orientations,
     initial_segmentation,
@@ -187,13 +187,16 @@ class Encoder:
             occ_rec, patches, width, height, cfg.occupancyResolution
         )
 
-        # --- geometry videos
-        geo_fill0 = _fill_unoccupied(frame.geometry0, frame.occupancy, occ_rec)
-        geo_fill1 = _fill_unoccupied(frame.geometry1, frame.occupancy, occ_rec)
-        geo_payloads = [
-            codecs.encode_geometry(geo_fill0, cfg),
-            codecs.encode_geometry(geo_fill1, cfg),
+        # --- geometry videos: push-pull background fill, then encode
+        occ_dev = jnp.asarray(frame.occupancy)
+        geo_fill = [
+            np.clip(
+                np.round(np.asarray(padding_mod.push_pull_fill(jnp.asarray(g.astype(np.float32)), occ_dev))),
+                0, (1 << cfg.geometryBitDepth2D) - 1,
+            ).astype(np.uint16)
+            for g in (frame.geometry0, frame.geometry1)
         ]
+        geo_payloads = [codecs.encode_geometry(g, cfg) for g in geo_fill]
         geo_dec = [codecs.decode_geometry(p, cfg) for p in geo_payloads]
         st.video_s = time.perf_counter() - t
 
@@ -251,6 +254,18 @@ class Encoder:
         m1 = rec_layer == 1
         only0[rec_pix[m1, 1], rec_pix[m1, 0]] = False
         attr[1][only0] = attr[0][only0]
+        # push-pull background fill per channel (reference attribute padding,
+        # PCCEncoder.cpp:6373 push-pull / :380 group dilation)
+        for ly in (0, 1):
+            filled = [
+                padding_mod.push_pull_fill(
+                    jnp.asarray(attr[ly][..., c].astype(np.float32)), occ_dev
+                )
+                for c in range(3)
+            ]
+            attr[ly] = np.clip(
+                np.round(np.stack([np.asarray(f) for f in filled], -1)), 0, 255
+            ).astype(np.uint8)
         attr_payloads = [codecs.encode_attribute(attr[ly], cfg) for ly in (0, 1)]
         attr_dec = [codecs.decode_attribute(p, cfg) for p in attr_payloads]
         # encoder-side recon colors = decoded attribute at each point's pixel
@@ -343,27 +358,3 @@ def _patch_to_pdu(p: Patch, cfg: VPCCConfig) -> v3c.PatchDataUnit:
         size_u=p.size_u,
         size_v=p.size_v,
     )
-
-
-def _fill_unoccupied(
-    geo: np.ndarray, occ_real: np.ndarray, occ_expanded: np.ndarray, iters: int = 6
-) -> np.ndarray:
-    """Fill geometry in precision-expanded (padded) pixels by iterative
-    nearest-neighbor dilation from real pixels, so decoder-generated padding
-    points stay attached to the surface (never mid-air block averages).
-    Stands in for the reference's sparse-linear dilation
-    (PCCEncoder.cpp:5772); push-pull padding arrives with the video codec."""
-    out = geo.copy()
-    filled = occ_real.astype(bool).copy()
-    for _ in range(iters):
-        need = (occ_expanded > 0) & ~filled
-        if not need.any():
-            break
-        for shift, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
-            src_val = np.roll(out, shift, axis=axis)
-            src_ok = np.roll(filled, shift, axis=axis)
-            take = need & src_ok
-            out[take] = src_val[take]
-            filled |= take
-            need &= ~take
-    return out

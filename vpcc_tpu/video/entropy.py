@@ -1,0 +1,112 @@
+"""ctypes binding to the native arithmetic coder (native/entropy.cpp).
+
+Builds the shared library on first use (g++ is part of the toolchain) and
+caches it next to the source.  The coder finalizes the bit-serial entropy
+stage on the host while transform/quant/prediction stay on the TPU —
+mirroring the wavefront split described in SURVEY.md §7 step 5.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native")
+)
+_SRC = os.path.join(_NATIVE_DIR, "entropy.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libvpccentropy.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            subprocess.check_call(
+                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB]
+            )
+        lib = ctypes.CDLL(_LIB)
+        lib.vpcc_encode_coeffs.restype = ctypes.c_int64
+        lib.vpcc_encode_coeffs.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib.vpcc_decode_coeffs.restype = ctypes.c_int64
+        lib.vpcc_decode_coeffs.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        lib.vpcc_encode_binary_plane.restype = ctypes.c_int64
+        lib.vpcc_encode_binary_plane.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib.vpcc_decode_binary_plane.restype = ctypes.c_int64
+        lib.vpcc_decode_binary_plane.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ]
+        _lib = lib
+    return _lib
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def encode_coeffs(coeffs: np.ndarray) -> bytes:
+    """coeffs: (nblocks, 64) int32 zigzag -> compressed bytes."""
+    lib = _load()
+    c = np.ascontiguousarray(coeffs, np.int32)
+    nb = c.shape[0]
+    cap = max(nb * 256, 1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.vpcc_encode_coeffs(_i32p(c), nb, _u8p(out), cap)
+    if n < 0:
+        raise RuntimeError("entropy buffer overflow")
+    return out[:n].tobytes()
+
+
+def decode_coeffs(data: bytes, nblocks: int) -> np.ndarray:
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((nblocks, 64), np.int32)
+    lib.vpcc_decode_coeffs(_u8p(buf), len(buf), _i32p(out), nblocks)
+    return out
+
+
+def encode_binary_plane(plane: np.ndarray) -> bytes:
+    lib = _load()
+    p = np.ascontiguousarray(plane != 0, np.uint8)
+    h, w = p.shape
+    cap = max(h * w // 2, 1 << 12)
+    out = np.empty(cap, np.uint8)
+    n = lib.vpcc_encode_binary_plane(_u8p(p), h, w, _u8p(out), cap)
+    if n < 0:
+        raise RuntimeError("entropy buffer overflow")
+    return out[:n].tobytes()
+
+
+def decode_binary_plane(data: bytes, h: int, w: int) -> np.ndarray:
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros((h, w), np.uint8)
+    lib.vpcc_decode_binary_plane(_u8p(buf), len(buf), _u8p(out), h, w)
+    return out

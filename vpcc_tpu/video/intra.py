@@ -1,25 +1,128 @@
-"""TPU-native intra video codec — placeholder module.
+"""TPU-native intra video codec.
 
-The real transform codec (intra prediction on the VPU, DCT via MXU matmuls,
-quantization, host entropy finalization) lands in video/intra.py as build
-phase D (SURVEY.md §7 step 5).  Until then AVAILABLE=False routes all
-substreams through the lossless fallback.
+Replaces the reference's external HM/JM/VTM encode path for the geometry and
+attribute substreams (reference: PCCVideoEncoder::compress,
+source/lib/PccLibEncoder/source/PCCVideoEncoder.cpp:282-440, which shells
+out to HM — SURVEY.md §3.1 marks that subprocess as the hottest stage).
+
+TPU-first split:
+- 8x8 DCT-II + quantization as batched MXU matmuls (video/transform.py);
+- DC intra prediction as a parallel prefix-sum DPCM over quantized DCs
+  (order-independent, no raster-scan dependency);
+- bit-serial adaptive arithmetic coding on the host (video/entropy.py,
+  native C++), mirroring HM's CABAC role.
+
+Frame container layout (little-endian): u8 codec-tag is written by the
+dispatcher (video/codecs.py); this module serializes
+[u16 h][u16 w][u8 qp][u8 flags][u32 len][payload] per plane.
 """
 
-AVAILABLE = False
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vpcc_tpu.video import color, entropy, transform
+
+AVAILABLE = True
 
 
-def encode_frame_mono(*a, **k):  # pragma: no cover
-    raise NotImplementedError
+def _encode_plane(plane: np.ndarray, qp: int) -> Tuple[bytes, np.ndarray]:
+    """Returns (payload bytes, decoded plane float32) for one (H, W) plane.
+    H, W must be multiples of 8."""
+    h, w = plane.shape
+    coeffs = transform.forward(jnp.asarray(plane, jnp.float32), qp)
+    coeffs = transform.dc_dpcm(coeffs)
+    coeffs_h = np.asarray(coeffs)
+    payload = entropy.encode_coeffs(coeffs_h)
+    # encoder-side reconstruction (must match decoder bit-exactly)
+    dec = _decode_plane_from_coeffs(coeffs_h, qp, h, w)
+    return payload, dec
 
 
-def decode_frame_mono(*a, **k):  # pragma: no cover
-    raise NotImplementedError
+def _decode_plane_from_coeffs(coeffs: np.ndarray, qp: int, h: int, w: int) -> np.ndarray:
+    c = transform.dc_dpcm_inverse(jnp.asarray(coeffs))
+    return np.asarray(transform.inverse(c, qp, h, w))
 
 
-def encode_frame_rgb(*a, **k):  # pragma: no cover
-    raise NotImplementedError
+def _decode_plane(payload: bytes, qp: int, h: int, w: int) -> np.ndarray:
+    nblocks = (h // 8) * (w // 8)
+    coeffs = entropy.decode_coeffs(payload, nblocks)
+    return _decode_plane_from_coeffs(coeffs, qp, h, w)
 
 
-def decode_frame_rgb(*a, **k):  # pragma: no cover
-    raise NotImplementedError
+def _pack(planes: List[Tuple[np.ndarray, int, bytes]]) -> bytes:
+    out = bytearray()
+    out.append(len(planes))
+    for shape_hw, qp, payload in planes:
+        out.extend(struct.pack("<HHBBI", shape_hw[0], shape_hw[1], qp, 0, len(payload)))
+        out.extend(payload)
+    return bytes(out)
+
+
+def _unpack(data: bytes) -> List[Tuple[Tuple[int, int], int, bytes]]:
+    n = data[0]
+    pos = 1
+    planes = []
+    for _ in range(n):
+        h, w, qp, _flags, ln = struct.unpack("<HHBBI", data[pos : pos + 10])
+        pos += 10
+        planes.append(((h, w), qp, data[pos : pos + ln]))
+        pos += ln
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# mono (geometry) frames
+
+def encode_frame_mono(plane: np.ndarray, qp: int, bitdepth: int = 8) -> bytes:
+    payload, _ = _encode_plane(plane.astype(np.float32), qp)
+    return _pack([(plane.shape, qp, payload)])
+
+
+def decode_frame_mono(data: bytes, bitdepth: int = 8) -> np.ndarray:
+    (hw, qp, payload), = _unpack(data)
+    dec = _decode_plane(payload, qp, hw[0], hw[1])
+    return np.clip(np.round(dec), 0, (1 << bitdepth) - 1).astype(np.uint16)
+
+
+def reconstruct_frame_mono(plane: np.ndarray, qp: int, bitdepth: int = 8) -> Tuple[bytes, np.ndarray]:
+    """One-pass encode + encoder-side reconstruction (saves a decode)."""
+    payload, dec = _encode_plane(plane.astype(np.float32), qp)
+    rec = np.clip(np.round(dec), 0, (1 << bitdepth) - 1).astype(np.uint16)
+    return _pack([(plane.shape, qp, payload)]), rec
+
+
+# ---------------------------------------------------------------------------
+# RGB (attribute) frames: BT.709 + 4:2:0 chroma
+
+def encode_frame_rgb(attr: np.ndarray, qp: int) -> bytes:
+    ycc = color.rgb_to_ycbcr(jnp.asarray(attr))
+    y = np.asarray(ycc[..., 0])
+    cb = np.asarray(color.downsample_420(ycc[..., 1]))
+    cr = np.asarray(color.downsample_420(ycc[..., 2]))
+    chroma_qp = min(qp + 3, 51)
+    py, _ = _encode_plane(y, qp)
+    pcb, _ = _encode_plane(cb, chroma_qp)
+    pcr, _ = _encode_plane(cr, chroma_qp)
+    return _pack([(y.shape, qp, py), (cb.shape, chroma_qp, pcb), (cr.shape, chroma_qp, pcr)])
+
+
+def decode_frame_rgb(data: bytes) -> np.ndarray:
+    planes = _unpack(data)
+    (hwy, qpy, py), (hwc, qpc, pcb), (_, _, pcr) = planes
+    y = _decode_plane(py, qpy, hwy[0], hwy[1])
+    cb = _decode_plane(pcb, qpc, hwc[0], hwc[1])
+    cr = _decode_plane(pcr, qpc, hwc[0], hwc[1])
+    ycc = jnp.stack(
+        [
+            jnp.asarray(y),
+            color.upsample_420(jnp.asarray(cb)),
+            color.upsample_420(jnp.asarray(cr)),
+        ],
+        axis=-1,
+    )
+    return np.asarray(color.ycbcr_to_rgb(ycc))
