@@ -55,6 +55,12 @@ class V3CParameterSet:
     attribute_codec_id: int = CODEC_TPU_INTRA
     min_level: int = 64
     vps_id: int = 0
+    # post-processing parameters (carried by the geometry-smoothing SEI in
+    # the reference, PCCEncoder.cpp:8472; folded into our VPS until the SEI
+    # set lands)
+    smoothing_enabled: int = 1
+    smoothing_grid_size: int = 8
+    smoothing_threshold: int = 64
 
     def write(self, bw: BitWriter) -> None:
         bw.u(4, self.vps_id)
@@ -71,6 +77,9 @@ class V3CParameterSet:
         bw.u(8, self.geometry_codec_id)
         bw.u(8, self.attribute_codec_id)
         bw.ue(self.min_level)
+        bw.u(1, self.smoothing_enabled)
+        bw.u(8, self.smoothing_grid_size)
+        bw.u(16, self.smoothing_threshold)
         bw.byte_align()
 
     @classmethod
@@ -90,6 +99,9 @@ class V3CParameterSet:
         v.geometry_codec_id = br.u(8)
         v.attribute_codec_id = br.u(8)
         v.min_level = br.ue()
+        v.smoothing_enabled = br.u(1)
+        v.smoothing_grid_size = br.u(8)
+        v.smoothing_threshold = br.u(16)
         br.byte_align()
         return v
 

@@ -17,7 +17,7 @@ from vpcc_tpu.bitstream import v3c
 from vpcc_tpu.bitstream.bitio import BitReader
 from vpcc_tpu.core import atlas as atlas_mod
 from vpcc_tpu.core.patch import INFINITE_DEPTH, Patch
-from vpcc_tpu.ops import reconstruct
+from vpcc_tpu import pipeline
 from vpcc_tpu.utils.config import VPCCConfig
 from vpcc_tpu.utils.ply import PointCloudData
 from vpcc_tpu.video import codecs
@@ -89,6 +89,10 @@ class Decoder:
         cfg = self.cfg
         cfg.occupancyResolution = vps.occupancy_resolution
         cfg.occupancyPrecision = vps.occupancy_precision
+        cfg.flagGeometrySmoothing = vps.smoothing_enabled
+        cfg.gridSmoothing = vps.smoothing_enabled
+        cfg.gridSize = vps.smoothing_grid_size
+        cfg.thresholdSmoothing = float(vps.smoothing_threshold)
 
         out: List[PointCloudData] = []
         for fi in range(vps.frame_count):
@@ -109,22 +113,11 @@ class Decoder:
             btp = atlas_mod.derive_block_to_patch(
                 occ, patches, width, height, vps.occupancy_resolution
             )
-            pts, valid, pixel_xy, _pid = reconstruct.generate_point_cloud(
-                jnp.asarray(occ),
-                jnp.asarray(geo[0]),
-                jnp.asarray(geo[1] if len(geo) > 1 else geo[0]),
-                jnp.asarray(btp),
-                jnp.asarray(atlas_mod.patch_table(patches)),
-                vps.occupancy_resolution,
+            cfg.occupancyResolution = vps.occupancy_resolution
+            cfg.geometry3dCoordinatesBitdepth = vps.geometry_3d_bitdepth
+            pos, pix_s, lay_s, _pid = pipeline.reconstruct_frame_points(
+                occ, geo, btp, patches, cfg
             )
-            pts_h = np.asarray(pts).reshape(-1, 3)
-            valid_h = np.asarray(valid).reshape(-1)
-            pix = np.repeat(np.asarray(pixel_xy), 2, axis=0)
-            layer = np.tile(np.array([0, 1], np.int32), len(valid_h) // 2)
-            sel = np.nonzero(valid_h)[0]
-            pos = pts_h[sel]
-            pix_s = pix[sel]
-            lay_s = layer[sel]
             col = attr[0][pix_s[:, 1], pix_s[:, 0]]
             if len(attr) > 1:
                 m1 = lay_s == 1

@@ -35,6 +35,7 @@ from vpcc_tpu.ops.segmentation import (
 )
 from vpcc_tpu.utils.config import VPCCConfig
 from vpcc_tpu.utils.ply import PointCloudData
+from vpcc_tpu import pipeline
 from vpcc_tpu.video import codecs
 
 
@@ -200,29 +201,11 @@ class Encoder:
         geo_dec = [codecs.decode_geometry(p, cfg) for p in geo_payloads]
         st.video_s = time.perf_counter() - t
 
-        # --- reconstruction (device) from decoded maps
+        # --- reconstruction + geometry smoothing (device), shared with decoder
         t = time.perf_counter()
-        pts, valid, pixel_xy, _pid = reconstruct.generate_point_cloud(
-            jnp.asarray(occ_rec),
-            jnp.asarray(geo_dec[0].astype(np.int32)),
-            jnp.asarray(geo_dec[1].astype(np.int32)),
-            jnp.asarray(btp),
-            jnp.asarray(atlas_mod.patch_table(patches)),
-            cfg.occupancyResolution,
+        rec_pos, rec_pix, rec_layer, _pid = pipeline.reconstruct_frame_points(
+            occ_rec, geo_dec, btp, patches, cfg
         )
-        pts_h = np.asarray(pts)
-        valid_h = np.asarray(valid)
-        pix_h = np.asarray(pixel_xy)
-
-        # compact reconstructed points
-        flat_pts = pts_h.reshape(-1, 3)
-        flat_valid = valid_h.reshape(-1)
-        layer = np.tile(np.array([0, 1], np.int32), pts_h.shape[0])
-        pix_rep = np.repeat(pix_h, 2, axis=0)
-        sel = np.nonzero(flat_valid)[0]
-        rec_pos = flat_pts[sel]
-        rec_pix = pix_rep[sel]
-        rec_layer = layer[sel]
         st.reconstruct_s = time.perf_counter() - t
 
         # --- recolor (device KNN against source)
@@ -310,6 +293,9 @@ class Encoder:
             geometry_3d_bitdepth=cfg.geometryBitDepth3D,
             map_count_minus1=cfg.mapCountMinus1,
             min_level=cfg.minLevel,
+            smoothing_enabled=int(bool(cfg.flagGeometrySmoothing and cfg.gridSmoothing)),
+            smoothing_grid_size=cfg.gridSize,
+            smoothing_threshold=int(cfg.thresholdSmoothing),
         )
         bw = BitWriter()
         vps.write(bw)

@@ -1,0 +1,131 @@
+"""Geometry smoothing (post-reconstruction), grid-based.
+
+Behavioral reference: `PCCCodec::smoothPointCloudGrid` / `gridFiltering`
+(source/lib/PccLibCommon/source/PCCCodec.cpp:1002-1107): bin points into
+gridSize^3 cells (count, centroid, owning patch, doSmooth = cell touched by
+more than one patch); every *boundary* point whose 2x2x2 trilinear cell
+neighborhood is multi-patch is pulled to the trilinear-weighted centroid when
+its weighted distance exceeds max(thresholdSmoothing, count)*2.
+
+TPU-first: the per-point KD-tree variant (smoothPointCloud, :1109) is
+replaced entirely by this grid form — scatter-adds + gathers, one fused pass
+over all points; boundary detection is an image-space stencil.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=())
+def boundary_pixels(occupancy: jax.Array, block_to_patch: jax.Array, res: int | None = None) -> jax.Array:
+    """(H, W) mask of occupied pixels adjacent (8-neighborhood) to an
+    unoccupied pixel or to a pixel owned by a different patch."""
+    occ = occupancy.astype(jnp.bool_)
+    h, w = occ.shape
+    resb = block_to_patch.shape[0]
+    scale_y = h // block_to_patch.shape[0]
+    scale_x = w // block_to_patch.shape[1]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    pid = block_to_patch[ys // scale_y, xs // scale_x]
+
+    def shifted(a, dy, dx, fill):
+        return jnp.roll(jnp.roll(a, dy, 0), dx, 1)
+
+    edge = jnp.zeros_like(occ)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nocc = shifted(occ, dy, dx, False)
+            npid = shifted(pid, dy, dx, 0)
+            edge = edge | (~nocc) | (npid != pid)
+    return occ & edge
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "grid_bits"))
+def smooth_point_cloud_grid(
+    points: jax.Array,      # (M, 3) int32, padded
+    valid: jax.Array,       # (M,) bool
+    patch_idx: jax.Array,   # (M,) int32 owning patch per point
+    boundary: jax.Array,    # (M,) bool
+    threshold: float,
+    grid_size: int = 8,
+    grid_bits: int = 10,
+) -> jax.Array:
+    """Returns smoothed positions (M, 3) int32."""
+    gw = (1 << grid_bits) // grid_size  # cells per axis
+    n_cells = gw * gw * gw + 1
+    p = points
+    cell = jnp.clip(p // grid_size, 0, gw - 1)
+    cid = (cell[:, 2] * gw + cell[:, 1]) * gw + cell[:, 0]
+    cid = jnp.where(valid, cid, n_cells - 1)
+
+    count = jnp.zeros((n_cells,), jnp.int32).at[cid].add(1)
+    csum = jnp.zeros((n_cells, 3), jnp.float32).at[cid].add(
+        p.astype(jnp.float32) * valid[:, None]
+    )
+    pmin = jnp.full((n_cells,), 1 << 30, jnp.int32).at[cid].min(
+        jnp.where(valid, patch_idx, 1 << 30)
+    )
+    pmax = jnp.full((n_cells,), -1, jnp.int32).at[cid].max(
+        jnp.where(valid, patch_idx, -1)
+    )
+    do_smooth = (count > 0) & (pmin != pmax)
+
+    half = grid_size // 2
+    p2 = p // grid_size
+    p3 = p - p2 * grid_size
+    s = p2 + jnp.where(p3 < half, -1, 0)  # (M, 3) base cell
+
+    w_vec = (p - s * grid_size - half) * 2 + 1  # (M, 3) in [1, 2*gs-1]
+    q_vec = 2 * grid_size - w_vec
+
+    gs2 = 2 * grid_size
+    denom = float(gs2 * gs2 * gs2)
+
+    cur = p.astype(jnp.float32)
+    any_smooth = jnp.zeros(p.shape[0], jnp.bool_)
+    centroid4 = jnp.zeros((p.shape[0], 3), jnp.float32)
+    wcount = jnp.zeros(p.shape[0], jnp.float32)
+
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                nc = s + jnp.array([dx, dy, dz], jnp.int32)
+                ok = jnp.all((nc >= 0) & (nc < gw), axis=-1)
+                ncid = (nc[:, 2] * gw + nc[:, 1]) * gw + nc[:, 0]
+                ncid = jnp.where(ok, ncid, n_cells - 1)
+                ccount = count[ncid]
+                any_smooth = any_smooth | (do_smooth[ncid] & (ccount > 0))
+                ccent = jnp.where(
+                    (ccount > 0)[:, None],
+                    csum[ncid] / jnp.maximum(ccount, 1)[:, None].astype(jnp.float32),
+                    cur,
+                )
+                wx = jnp.where(dx == 0, q_vec[:, 0], w_vec[:, 0]).astype(jnp.float32)
+                wy = jnp.where(dy == 0, q_vec[:, 1], w_vec[:, 1]).astype(jnp.float32)
+                wz = jnp.where(dz == 0, q_vec[:, 2], w_vec[:, 2]).astype(jnp.float32)
+                wgt = wx * wy * wz
+                centroid4 = centroid4 + ccent * wgt[:, None]
+                wcount = wcount + wgt * ccount.astype(jnp.float32)
+
+    centroid4 = centroid4 / denom
+    cnt = jnp.floor(wcount / denom)
+
+    # skip points near the volume border (reference :1076-1082)
+    disth = max(grid_size // 2, 1)
+    th = grid_size * gw
+    inb = jnp.all((p >= disth) & (p + disth < th), axis=-1)
+
+    eligible = valid & boundary & any_smooth & inb & (cnt > 0)
+    scaled = centroid4 * cnt[:, None]
+    diff = cur * cnt[:, None] - scaled
+    dist2 = jnp.sum(diff * diff, -1) / jnp.maximum(cnt, 1.0) + 0.5
+    move = eligible & (dist2 >= jnp.maximum(threshold, cnt) * 2.0)
+    target = jnp.floor(centroid4 + 0.5).astype(jnp.int32)
+    return jnp.where(move[:, None], target, p)
