@@ -113,3 +113,28 @@ def test_lossy_codec_roundtrip_rate_quality():
     assert a.point_count == b.point_count
     ka = np.lexsort(a.positions.T); kb = np.lexsort(b.positions.T)
     np.testing.assert_array_equal(a.positions[ka], b.positions[kb])
+
+
+def test_lossless_condition_bit_exact():
+    """CWAI-style lossless: rawPointsPatch + occupancyPrecision 1 + lossless
+    video -> decoded cloud == source bit-exactly (BASELINE config 4)."""
+    cfg = small_cfg(
+        rawPointsPatch=1,
+        occupancyPrecision=1,
+        geometryQP=-12,
+        attributeQP=0,
+        flagGeometrySmoothing=0,
+        gridSmoothing=0,
+        maxAllowedDist2RawPointsSelection=0.0,
+    )
+    src = make_sphere_cloud(bits=7, n_samples=20000)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof([src])
+    dec = Decoder().decode(stream)[0]
+    assert dec.point_count == src.point_count, (dec.point_count, src.point_count)
+    ks = np.lexsort(src.positions.astype(np.int64).T)
+    kd = np.lexsort(dec.positions.astype(np.int64).T)
+    np.testing.assert_array_equal(
+        src.positions.astype(np.int32)[ks], dec.positions.astype(np.int32)[kd]
+    )
+    np.testing.assert_array_equal(src.colors[ks], dec.colors[kd])

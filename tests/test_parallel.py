@@ -1,0 +1,38 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from vpcc_tpu.core.pointcloud import from_host
+from vpcc_tpu.parallel.mesh import make_mesh, segment_frames_sharded, segment_one_frame
+from vpcc_tpu.utils.synthetic import make_sphere_cloud
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_segment_frames_sharded_matches_single():
+    mesh = make_mesh(8)
+    frames = []
+    for i in range(8):
+        pc = from_host(make_sphere_cloud(bits=5, n_samples=1000, seed=i), capacity=2048)
+        frames.append(np.asarray(pc.positions))
+    batch = np.stack(frames)
+    with mesh:
+        parts = segment_frames_sharded(
+            jax.numpy.asarray(batch), mesh, grid_bits=5, k=8, refine_iters=2
+        )
+    parts = np.asarray(parts)
+    assert parts.shape == (8, 2048)
+    # per-frame result equals the unsharded program
+    single = np.asarray(
+        segment_one_frame(jax.numpy.asarray(batch[3]), grid_bits=5, k=8, refine_iters=2)
+    )
+    np.testing.assert_array_equal(parts[3], single)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (args[0].shape[0],)

@@ -158,16 +158,39 @@ class PatchDataUnit:
 
 @dataclasses.dataclass
 class AtlasTileLayer:
-    """One frame's atlas data (I-tile of patch data units)."""
+    """One frame's atlas data (I-tile of patch data units + raw-points
+    patch).  The raw-points patch mirrors RawPatchDataUnit
+    (reference: PCCBitstreamCommon; points missed by projection are coded
+    verbatim for the lossless conditions, PCCPatchSegmenter.cpp:1294-1320)."""
 
     frame_index: int = 0
     patches: List[PatchDataUnit] = dataclasses.field(default_factory=list)
+    raw_positions: Optional[np.ndarray] = None  # (R, 3) int32
+    raw_colors: Optional[np.ndarray] = None     # (R, 3) uint8
+    geometry_bits: int = 10
 
     def write(self, bw: BitWriter) -> None:
         bw.ue(self.frame_index)
         bw.ue(len(self.patches))
         for p in self.patches:
             p.write(bw)
+        nraw = 0 if self.raw_positions is None else len(self.raw_positions)
+        bw.ue(nraw)
+        if nraw:
+            bw.u(5, self.geometry_bits)
+            bw.u(1, 1 if self.raw_colors is not None else 0)
+            bw.byte_align()
+            # fixed-width packed coords (entropy-coded upgrade: TODO)
+            pos = np.asarray(self.raw_positions, np.int64)
+            if self.geometry_bits <= 10:
+                packed = (pos[:, 0] << (2 * self.geometry_bits)) | (
+                    pos[:, 1] << self.geometry_bits
+                ) | pos[:, 2]
+                bw.bytes_(packed.astype("<u4").tobytes())
+            else:
+                bw.bytes_(pos.astype("<u2").tobytes())
+            if self.raw_colors is not None:
+                bw.bytes_(np.asarray(self.raw_colors, np.uint8).tobytes())
         bw.byte_align()
 
     @classmethod
@@ -176,6 +199,24 @@ class AtlasTileLayer:
         t.frame_index = br.ue()
         n = br.ue()
         t.patches = [PatchDataUnit.read(br) for _ in range(n)]
+        nraw = br.ue()
+        if nraw:
+            t.geometry_bits = br.u(5)
+            has_col = br.u(1)
+            br.byte_align()
+            if t.geometry_bits <= 10:
+                packed = np.frombuffer(br.bytes_(4 * nraw), "<u4").astype(np.int64)
+                b = t.geometry_bits
+                mask = (1 << b) - 1
+                t.raw_positions = np.stack(
+                    [(packed >> (2 * b)) & mask, (packed >> b) & mask, packed & mask], 1
+                ).astype(np.int32)
+            else:
+                t.raw_positions = (
+                    np.frombuffer(br.bytes_(6 * nraw), "<u2").astype(np.int32).reshape(-1, 3)
+                )
+            if has_col:
+                t.raw_colors = np.frombuffer(br.bytes_(3 * nraw), np.uint8).reshape(-1, 3).copy()
         br.byte_align()
         return t
 

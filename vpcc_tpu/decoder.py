@@ -122,6 +122,15 @@ class Decoder:
             if len(attr) > 1:
                 m1 = lay_s == 1
                 col[m1] = attr[1][pix_s[m1, 1], pix_s[m1, 0]]
+            tile = tiles[fi]
+            if tile.raw_positions is not None:
+                pos = np.concatenate([pos, tile.raw_positions], 0)
+                raw_cols = (
+                    tile.raw_colors
+                    if tile.raw_colors is not None
+                    else np.zeros_like(tile.raw_positions, np.uint8)
+                )
+                col = np.concatenate([col.astype(np.uint8), raw_cols], 0)
             pc = PointCloudData(pos, col.astype(np.uint8))
             if cfg.removeDuplicatePoints:
                 pc = pc.remove_duplicates()

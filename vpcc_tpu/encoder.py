@@ -27,7 +27,7 @@ from vpcc_tpu.core import packing
 from vpcc_tpu.core.patch import Patch, build_patch_from_component
 from vpcc_tpu.core.pointcloud import PAD_COORD, from_host, shape_bucket
 from vpcc_tpu.ops import cc as cc_mod
-from vpcc_tpu.ops import neighbors, normals as normals_mod, padding as padding_mod, recolor, reconstruct
+from vpcc_tpu.ops import neighbors, normals as normals_mod, recolor
 from vpcc_tpu.ops.segmentation import (
     get_orientations,
     initial_segmentation,
@@ -48,6 +48,8 @@ class EncodedFrame:
     geometry_payloads: List[bytes]   # one per map
     attribute_payloads: List[bytes]  # one per map
     recon: PointCloudData            # encoder-side reconstruction
+    raw_positions: "np.ndarray | None" = None
+    raw_colors: "np.ndarray | None" = None
 
 
 @dataclasses.dataclass
@@ -119,13 +121,14 @@ class Encoder:
         n = positions.shape[0]
         dist2 = np.full(n, np.inf)
         patches: List[Patch] = []
+        graph = cc_mod.SegmentGraph(nn_idx, nn_valid, partition)
         for _round in range(4):
             seeds = dist2 > cfg.maxAllowedDist2RawPointsDetection
             active = dist2 > cfg.maxAllowedDist2RawPointsSelection
             if not seeds.any():
                 break
             comps = cc_mod.connected_components(
-                nn_idx, nn_valid, partition, active, seeds,
+                graph, nn_valid, partition, active, seeds,
                 cfg.minPointCountPerCCPatchSegmentation,
             )
             if not comps:
@@ -141,7 +144,9 @@ class Encoder:
             if not new_patches:
                 break
             patches.extend(new_patches)
-            # coverage update: distance of every point to the resampled cloud
+            # coverage update: distance to the resampled cloud of the NEW
+            # patches. Only still-uncovered points can change (dist2 is a
+            # running minimum), so later rounds query just the raw subset.
             res_pts = [pp for p in new_patches for pp in p.generate_points()[:2]]
             res_pts = np.concatenate([r for r in res_pts if len(r)], axis=0)
             cap = shape_bucket(len(res_pts))
@@ -149,14 +154,16 @@ class Encoder:
             rp[: len(res_pts)] = res_pts
             rp_dev = jnp.asarray(rp)
             grid_r = neighbors.build_grid(rp_dev, cfg.geometryBitDepth3D)
-            qcap = shape_bucket(n)
+            qsel = np.nonzero(dist2 > cfg.maxAllowedDist2RawPointsSelection)[0] \
+                if _round > 0 else np.arange(n)
+            qcap = shape_bucket(len(qsel))
             q = np.full((qcap, 3), PAD_COORD, np.int32)
-            q[:n] = positions
+            q[: len(qsel)] = positions[qsel]
             _, d2 = neighbors.nearest(grid_r, rp_dev, jnp.asarray(q))
-            d2h = np.asarray(d2)[:n].astype(np.float64)
+            d2h = np.asarray(d2)[: len(qsel)].astype(np.float64)
             d2h[d2h >= float(neighbors.MAX_DIST2)] = np.inf
-            dist2 = np.minimum(dist2, d2h)
-        return patches
+            dist2[qsel] = np.minimum(dist2[qsel], d2h)
+        return patches, dist2
 
     # ------------------------------------------------------------------
     def encode_frame(self, pc_host: PointCloudData) -> EncodedFrame:
@@ -168,7 +175,17 @@ class Encoder:
         st.segmentation_s = time.perf_counter() - t0
 
         t = time.perf_counter()
-        patches = self.generate_patches(pc_host, partition, nn_idx, nn_valid)
+        patches, cover_dist2 = self.generate_patches(pc_host, partition, nn_idx, nn_valid)
+        # raw-points patch: points still uncovered after all rounds are coded
+        # verbatim (lossless conditions; reference rawPointsPatch,
+        # PCCPatchSegmenter.cpp:1294-1320)
+        raw_positions = raw_colors = None
+        if cfg.rawPointsPatch:
+            raw_sel = np.nonzero(cover_dist2 > cfg.maxAllowedDist2RawPointsSelection)[0]
+            if len(raw_sel):
+                raw_positions = pc_host.positions[raw_sel].astype(np.int32)
+                if pc_host.colors is not None:
+                    raw_colors = pc_host.colors[raw_sel]
         st.patchgen_s = time.perf_counter() - t
 
         t = time.perf_counter()
@@ -188,16 +205,11 @@ class Encoder:
             occ_rec, patches, width, height, cfg.occupancyResolution
         )
 
-        # --- geometry videos: push-pull background fill, then encode
-        occ_dev = jnp.asarray(frame.occupancy)
-        geo_fill = [
-            np.clip(
-                np.round(np.asarray(padding_mod.push_pull_fill(jnp.asarray(g.astype(np.float32)), occ_dev))),
-                0, (1 << cfg.geometryBitDepth2D) - 1,
-            ).astype(np.uint16)
+        # --- geometry videos: fused device fill+DCT+quant, host entropy
+        geo_payloads = [
+            codecs.encode_geometry(g, cfg, occ=frame.occupancy)
             for g in (frame.geometry0, frame.geometry1)
         ]
-        geo_payloads = [codecs.encode_geometry(g, cfg) for g in geo_fill]
         geo_dec = [codecs.decode_geometry(p, cfg) for p in geo_payloads]
         st.video_s = time.perf_counter() - t
 
@@ -237,19 +249,10 @@ class Encoder:
         m1 = rec_layer == 1
         only0[rec_pix[m1, 1], rec_pix[m1, 0]] = False
         attr[1][only0] = attr[0][only0]
-        # push-pull background fill per channel (reference attribute padding,
-        # PCCEncoder.cpp:6373 push-pull / :380 group dilation)
-        for ly in (0, 1):
-            filled = [
-                padding_mod.push_pull_fill(
-                    jnp.asarray(attr[ly][..., c].astype(np.float32)), occ_dev
-                )
-                for c in range(3)
-            ]
-            attr[ly] = np.clip(
-                np.round(np.stack([np.asarray(f) for f in filled], -1)), 0, 255
-            ).astype(np.uint8)
-        attr_payloads = [codecs.encode_attribute(attr[ly], cfg) for ly in (0, 1)]
+        # push-pull fill happens fused on device inside the codec
+        attr_payloads = [
+            codecs.encode_attribute(attr[ly], cfg, occ=frame.occupancy) for ly in (0, 1)
+        ]
         attr_dec = [codecs.decode_attribute(p, cfg) for p in attr_payloads]
         # encoder-side recon colors = decoded attribute at each point's pixel
         rec_col_dec = attr_dec[0][rec_pix[:, 1], rec_pix[:, 0]]
@@ -257,6 +260,14 @@ class Encoder:
         rec_col_dec[m1] = attr_dec[1][rec_pix[m1, 1], rec_pix[m1, 0]]
         st.video_s += time.perf_counter() - t
 
+        if raw_positions is not None:
+            rec_pos = np.concatenate([rec_pos, raw_positions], 0)
+            raw_cols = (
+                raw_colors
+                if raw_colors is not None
+                else np.zeros_like(raw_positions, np.uint8)
+            )
+            rec_col_dec = np.concatenate([rec_col_dec, raw_cols], 0)
         recon_pc = PointCloudData(rec_pos, rec_col_dec)
         if cfg.removeDuplicatePoints:
             recon_pc = recon_pc.remove_duplicates()
@@ -273,6 +284,8 @@ class Encoder:
             geometry_payloads=geo_payloads,
             attribute_payloads=attr_payloads,
             recon=recon_pc,
+            raw_positions=raw_positions,
+            raw_colors=raw_colors,
         )
 
     # ------------------------------------------------------------------
@@ -307,6 +320,9 @@ class Encoder:
             tile = v3c.AtlasTileLayer(
                 frame_index=fi,
                 patches=[_patch_to_pdu(p, cfg) for p in e.patches],
+                raw_positions=e.raw_positions,
+                raw_colors=e.raw_colors,
+                geometry_bits=cfg.geometryBitDepth3D,
             )
             tile.write(bw)
         units.append((v3c.V3C_AD, bw.getvalue()))

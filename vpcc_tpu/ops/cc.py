@@ -19,9 +19,24 @@ from scipy.sparse import coo_matrix
 from scipy.sparse.csgraph import connected_components as _scipy_cc
 
 
+class SegmentGraph:
+    """Same-partition KNN edge list, built once per frame and re-filtered
+    cheaply per patch round (the reference rebuilds its BFS bookkeeping every
+    round; the edge set itself never changes)."""
+
+    def __init__(self, nn_idx: np.ndarray, nn_valid: np.ndarray, partition: np.ndarray):
+        n = partition.shape[0]
+        src = np.repeat(np.arange(n, dtype=np.int64), nn_idx.shape[1])
+        dst = nn_idx.astype(np.int64).ravel()
+        ok = nn_valid.ravel() & (partition[src] == partition[dst])
+        self.n = n
+        self.src = src[ok]
+        self.dst = dst[ok]
+
+
 def connected_components(
-    nn_idx: np.ndarray,      # (N, K) int32
-    nn_valid: np.ndarray,    # (N, K) bool
+    nn_idx,                  # (N, K) int32 or a prebuilt SegmentGraph
+    nn_valid: np.ndarray,    # (N, K) bool (ignored with a SegmentGraph)
     partition: np.ndarray,   # (N,) int32
     active: np.ndarray,      # (N,) bool — points eligible for labeling
     seeds: np.ndarray,       # (N,) bool — points allowed to start a component
@@ -29,16 +44,13 @@ def connected_components(
 ) -> List[np.ndarray]:
     """Return the list of components (arrays of point indices), each of size
     >= min_size, containing at least one seed, sorted descending by size."""
-    n = partition.shape[0]
-    src = np.repeat(np.arange(n, dtype=np.int64), nn_idx.shape[1])
-    dst = nn_idx.astype(np.int64).ravel()
-    ok = (
-        nn_valid.ravel()
-        & active[src]
-        & active[dst]
-        & (partition[src] == partition[dst])
-    )
-    src, dst = src[ok], dst[ok]
+    if isinstance(nn_idx, SegmentGraph):
+        graph = nn_idx
+    else:
+        graph = SegmentGraph(nn_idx, nn_valid, partition)
+    n = graph.n
+    ok = active[graph.src] & active[graph.dst]
+    src, dst = graph.src[ok], graph.dst[ok]
     g = coo_matrix((np.ones(len(src), np.int8), (src, dst)), shape=(n, n))
     ncc, labels = _scipy_cc(g, directed=False)
     labels = labels.astype(np.int64)

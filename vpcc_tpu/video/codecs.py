@@ -35,12 +35,14 @@ def decode_occupancy(payload: bytes, cfg: VPCCConfig) -> np.ndarray:
     return entropy.decode_binary_plane(payload[4:], h, w)
 
 
-def encode_geometry(geo: np.ndarray, cfg: VPCCConfig) -> bytes:
+def encode_geometry(geo: np.ndarray, cfg: VPCCConfig, occ=None) -> bytes:
     from vpcc_tpu.video import intra
     if cfg.geometryQP <= 4 or not intra.AVAILABLE:
-        return bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(geo.astype(np.uint16))
+        if occ is not None:
+            geo = intra.fill_plane_host(geo, occ)
+        return bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(np.asarray(geo).astype(np.uint16))
     return bytes([v3c.CODEC_TPU_INTRA]) + intra.encode_frame_mono(
-        geo.astype(np.int32), qp=cfg.geometryQP, bitdepth=cfg.geometryBitDepth2D
+        geo, qp=cfg.geometryQP, bitdepth=cfg.geometryBitDepth2D, occ=occ
     )
 
 
@@ -52,11 +54,13 @@ def decode_geometry(payload: bytes, cfg: VPCCConfig) -> np.ndarray:
     return intra.decode_frame_mono(payload[1:]).astype(np.uint16)
 
 
-def encode_attribute(attr: np.ndarray, cfg: VPCCConfig) -> bytes:
+def encode_attribute(attr: np.ndarray, cfg: VPCCConfig, occ=None) -> bytes:
     from vpcc_tpu.video import intra
     if cfg.attributeQP <= 4 or not intra.AVAILABLE:
-        return bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(attr.astype(np.uint8))
-    return bytes([v3c.CODEC_TPU_INTRA]) + intra.encode_frame_rgb(attr, qp=cfg.attributeQP)
+        if occ is not None:
+            attr = intra.fill_rgb_host(attr, occ)
+        return bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(np.asarray(attr).astype(np.uint8))
+    return bytes([v3c.CODEC_TPU_INTRA]) + intra.encode_frame_rgb(attr, qp=cfg.attributeQP, occ=occ)
 
 
 def decode_attribute(payload: bytes, cfg: VPCCConfig) -> np.ndarray:

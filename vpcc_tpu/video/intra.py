@@ -19,23 +19,42 @@ dispatcher (video/codecs.py); this module serializes
 
 from __future__ import annotations
 
+import functools
 import struct
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vpcc_tpu.ops import padding
 from vpcc_tpu.video import color, entropy, transform
 
 AVAILABLE = True
 
 
-def _encode_plane(plane: np.ndarray, qp: int) -> Tuple[bytes, np.ndarray]:
+@functools.partial(jax.jit, static_argnames=("qp",))
+def _fill_forward(plane: jax.Array, occ: jax.Array, qp: int) -> jax.Array:
+    """Fused device pass: push-pull background fill -> DCT -> quant ->
+    DC-DPCM.  One dispatch, one (nblocks, 64) int32 download."""
+    filled = padding.push_pull_fill(plane, occ)
+    return transform.dc_dpcm(transform.forward(filled, qp))
+
+
+@functools.partial(jax.jit, static_argnames=("qp",))
+def _forward_only(plane: jax.Array, qp: int) -> jax.Array:
+    return transform.dc_dpcm(transform.forward(plane.astype(jnp.float32), qp))
+
+
+def _encode_plane(plane, qp: int, occ=None) -> Tuple[bytes, np.ndarray]:
     """Returns (payload bytes, decoded plane float32) for one (H, W) plane.
-    H, W must be multiples of 8."""
+    H, W must be multiples of 8. `plane` may be a jax or numpy array; with
+    `occ` given, unoccupied pixels are push-pull filled on device first."""
     h, w = plane.shape
-    coeffs = transform.forward(jnp.asarray(plane, jnp.float32), qp)
-    coeffs = transform.dc_dpcm(coeffs)
+    if occ is not None:
+        coeffs = _fill_forward(jnp.asarray(plane, jnp.float32), jnp.asarray(occ), qp)
+    else:
+        coeffs = _forward_only(jnp.asarray(plane), qp)
     coeffs_h = np.asarray(coeffs)
     payload = entropy.encode_coeffs(coeffs_h)
     # encoder-side reconstruction (must match decoder bit-exactly)
@@ -76,10 +95,27 @@ def _unpack(data: bytes) -> List[Tuple[Tuple[int, int], int, bytes]]:
 
 
 # ---------------------------------------------------------------------------
+# host-side fill helpers (lossless fallback path)
+
+def fill_plane_host(plane, occ) -> np.ndarray:
+    filled = padding.push_pull_fill(jnp.asarray(plane, jnp.float32), jnp.asarray(occ))
+    return np.round(np.asarray(filled)).astype(np.asarray(plane).dtype)
+
+
+def fill_rgb_host(attr, occ) -> np.ndarray:
+    occ_d = jnp.asarray(occ)
+    chans = [
+        padding.push_pull_fill(jnp.asarray(np.asarray(attr)[..., c], jnp.float32), occ_d)
+        for c in range(3)
+    ]
+    return np.clip(np.round(np.stack([np.asarray(c) for c in chans], -1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # mono (geometry) frames
 
-def encode_frame_mono(plane: np.ndarray, qp: int, bitdepth: int = 8) -> bytes:
-    payload, _ = _encode_plane(plane.astype(np.float32), qp)
+def encode_frame_mono(plane, qp: int, bitdepth: int = 8, occ=None) -> bytes:
+    payload, _ = _encode_plane(plane, qp, occ=occ)
     return _pack([(plane.shape, qp, payload)])
 
 
@@ -89,9 +125,9 @@ def decode_frame_mono(data: bytes, bitdepth: int = 8) -> np.ndarray:
     return np.clip(np.round(dec), 0, (1 << bitdepth) - 1).astype(np.uint16)
 
 
-def reconstruct_frame_mono(plane: np.ndarray, qp: int, bitdepth: int = 8) -> Tuple[bytes, np.ndarray]:
+def reconstruct_frame_mono(plane, qp: int, bitdepth: int = 8, occ=None) -> Tuple[bytes, np.ndarray]:
     """One-pass encode + encoder-side reconstruction (saves a decode)."""
-    payload, dec = _encode_plane(plane.astype(np.float32), qp)
+    payload, dec = _encode_plane(plane, qp, occ=occ)
     rec = np.clip(np.round(dec), 0, (1 << bitdepth) - 1).astype(np.uint16)
     return _pack([(plane.shape, qp, payload)]), rec
 
@@ -99,16 +135,26 @@ def reconstruct_frame_mono(plane: np.ndarray, qp: int, bitdepth: int = 8) -> Tup
 # ---------------------------------------------------------------------------
 # RGB (attribute) frames: BT.709 + 4:2:0 chroma
 
-def encode_frame_rgb(attr: np.ndarray, qp: int) -> bytes:
-    ycc = color.rgb_to_ycbcr(jnp.asarray(attr))
-    y = np.asarray(ycc[..., 0])
-    cb = np.asarray(color.downsample_420(ycc[..., 1]))
-    cr = np.asarray(color.downsample_420(ycc[..., 2]))
+@functools.partial(jax.jit, static_argnames=())
+def _rgb_to_planes(attr: jax.Array, occ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    ycc = color.rgb_to_ycbcr(attr)
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    if occ is not None:
+        y = padding.push_pull_fill(y, occ)
+        cb = padding.push_pull_fill(cb, occ)
+        cr = padding.push_pull_fill(cr, occ)
+    return y, color.downsample_420(cb), color.downsample_420(cr)
+
+
+def encode_frame_rgb(attr, qp: int, occ=None) -> bytes:
+    y, cb, cr = _rgb_to_planes(
+        jnp.asarray(attr), None if occ is None else jnp.asarray(occ)
+    )
     chroma_qp = min(qp + 3, 51)
     py, _ = _encode_plane(y, qp)
     pcb, _ = _encode_plane(cb, chroma_qp)
     pcr, _ = _encode_plane(cr, chroma_qp)
-    return _pack([(y.shape, qp, py), (cb.shape, chroma_qp, pcb), (cr.shape, chroma_qp, pcr)])
+    return _pack([(tuple(y.shape), qp, py), (tuple(cb.shape), chroma_qp, pcb), (tuple(cr.shape), chroma_qp, pcr)])
 
 
 def decode_frame_rgb(data: bytes) -> np.ndarray:
