@@ -138,3 +138,33 @@ def test_lossless_condition_bit_exact():
         src.positions.astype(np.int32)[ks], dec.positions.astype(np.int32)[kd]
     )
     np.testing.assert_array_equal(src.colors[ks], dec.colors[kd])
+
+
+def test_random_access_gof_inter_coding():
+    """Multi-frame GOF: temporally consistent packing + P-frame video
+    prediction shrink later frames vs the I-frame (BASELINE config 3)."""
+    import numpy as np
+    from vpcc_tpu.utils.ply import PointCloudData
+
+    cfg = small_cfg(geometryQP=22, attributeQP=30)
+    base = make_sphere_cloud(bits=7, n_samples=20000)
+    frames = []
+    for t in range(3):
+        pos = np.clip(base.positions.astype(np.int32) + t, 0, 127)
+        frames.append(PointCloudData(pos, base.colors))
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof(frames)
+    decoded = Decoder().decode(stream)
+    assert len(decoded) == 3
+    # parity: decoder == encoder recon per frame
+    for a, b in zip(recons, decoded):
+        assert a.point_count == b.point_count
+        ka = np.lexsort(a.positions.T); kb = np.lexsort(b.positions.T)
+        np.testing.assert_array_equal(a.positions[ka], b.positions[kb])
+    # quality on the last (P) frame
+    m = compute_metrics(
+        frames[2].positions.astype(np.int32), frames[2].colors,
+        decoded[2].positions.astype(np.int32), decoded[2].colors,
+        resolution=127, grid_bits=7,
+    )
+    assert m.c2c_psnr > 30.0, m.summary()

@@ -61,6 +61,52 @@ def _valid_positions(canvas: np.ndarray, fp: np.ndarray) -> np.ndarray:
     return overlap < 0.5
 
 
+def match_patches(patches: List[Patch], prev_patches: List[Patch], iou_threshold: float = 0.1) -> int:
+    """Temporal patch matching (reference: spatialConsistencyPackFlexible's
+    findMatches step, PCCEncoder.cpp:1183-1290): match patches to the
+    previous frame by projection plane + tangent-plane bounding-box IoU and
+    record the matched patch's canvas placement as the preferred location.
+    Returns the number of matched patches."""
+    matched = 0
+    used = set()
+    for p in patches:
+        best, best_iou = None, iou_threshold
+        for j, q in enumerate(prev_patches):
+            if j in used or q.view_id != p.view_id:
+                continue
+            x0 = max(p.u1, q.u1)
+            x1 = min(p.u1 + p.size_u, q.u1 + q.size_u)
+            y0 = max(p.v1, q.v1)
+            y1 = min(p.v1 + p.size_v, q.v1 + q.size_v)
+            inter = max(0, x1 - x0) * max(0, y1 - y0)
+            union = p.size_u * p.size_v + q.size_u * q.size_v - inter
+            iou = inter / union if union else 0.0
+            if iou > best_iou:
+                best, best_iou = j, iou
+        if best is not None:
+            used.add(best)
+            q = prev_patches[best]
+            p.pref_u0, p.pref_v0, p.pref_orientation = q.u0, q.v0, q.orientation
+            matched += 1
+    return matched
+
+
+def _try_preferred(canvas: np.ndarray, p: Patch, bo: np.ndarray) -> bool:
+    """Attempt to place the patch at its previous-frame position."""
+    if p.pref_u0 < 0:
+        return False
+    fp = _orient_footprint(bo, p.pref_orientation)
+    h, w = fp.shape
+    if p.pref_v0 + h > canvas.shape[0] or p.pref_u0 + w > canvas.shape[1]:
+        return False
+    region = canvas[p.pref_v0 : p.pref_v0 + h, p.pref_u0 : p.pref_u0 + w]
+    if (region & fp).any():
+        return False
+    p.u0, p.v0, p.orientation = p.pref_u0, p.pref_v0, p.pref_orientation
+    region |= fp
+    return True
+
+
 def pack_flexible(
     patches: List[Patch],
     cfg: VPCCConfig,
@@ -100,6 +146,9 @@ def pack_flexible(
     else:
         orientations = None
 
+    # matched patches first, at their previous-frame positions when free —
+    # keeps the video temporally stable for P-frame prediction
+    patches.sort(key=lambda p: (p.pref_u0 < 0,))
     for p in patches:
         bo = p.block_occupancy()
         if cfg.lowDelayEncoding:
@@ -108,6 +157,8 @@ def pack_flexible(
             # bounding boxes never overlap — this also guarantees the
             # block-to-patch derivation is unambiguous.
             bo = np.ones_like(bo)
+        if _try_preferred(canvas, p, bo):
+            continue
         if strategy == 0:
             orients = [ORIENT_DEFAULT]
         else:

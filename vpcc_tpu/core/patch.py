@@ -65,6 +65,11 @@ class Patch:
     orientation: int = ORIENT_DEFAULT
     size_u0: int = 0  # block dims
     size_v0: int = 0
+    # temporal-consistency hint (set by packing.match_patches): preferred
+    # placement copied from the matched patch of the previous frame
+    pref_u0: int = -1
+    pref_v0: int = -1
+    pref_orientation: int = -1
 
     def __post_init__(self):
         res = self.occupancy_resolution

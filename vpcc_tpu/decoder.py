@@ -89,12 +89,15 @@ class Decoder:
         cfg = self.cfg
         cfg.occupancyResolution = vps.occupancy_resolution
         cfg.occupancyPrecision = vps.occupancy_precision
+        cfg.geometryNominal2dBitdepth = vps.geometry_2d_bitdepth
         cfg.flagGeometrySmoothing = vps.smoothing_enabled
         cfg.gridSmoothing = vps.smoothing_enabled
         cfg.gridSize = vps.smoothing_grid_size
         cfg.thresholdSmoothing = float(vps.smoothing_threshold)
 
         out: List[PointCloudData] = []
+        geo_decs = {m: codecs.GeometrySubstreamDecoder(cfg) for m in geo_subs}
+        attr_decs = {m: codecs.AttributeSubstreamDecoder(cfg) for m in attr_subs}
         for fi in range(vps.frame_count):
             patches = [
                 _pdu_to_patch(pdu, i, vps) for i, pdu in enumerate(tiles[fi].patches)
@@ -103,11 +106,11 @@ class Decoder:
             occ = atlas_mod.upsample_occupancy(occ_video, vps.occupancy_precision)
             height, width = occ.shape
             geo = [
-                codecs.decode_geometry(geo_subs[m].frames[fi], cfg).astype(np.int32)
+                geo_decs[m].decode(geo_subs[m].frames[fi]).astype(np.int32)
                 for m in sorted(geo_subs)
             ]
             attr = [
-                codecs.decode_attribute(attr_subs[m].frames[fi], cfg)
+                attr_decs[m].decode(attr_subs[m].frames[fi])
                 for m in sorted(attr_subs)
             ]
             btp = atlas_mod.derive_block_to_patch(

@@ -166,8 +166,15 @@ class Encoder:
         return patches, dist2
 
     # ------------------------------------------------------------------
-    def encode_frame(self, pc_host: PointCloudData) -> EncodedFrame:
+    def encode_frame(
+        self,
+        pc_host: PointCloudData,
+        streams: "dict | None" = None,
+        prev_patches: "List[Patch] | None" = None,
+    ) -> EncodedFrame:
         cfg = self.cfg
+        if streams is None:
+            streams = self._new_streams()
         st = EncoderStats(point_count=pc_host.point_count)
         t0 = time.perf_counter()
 
@@ -189,6 +196,8 @@ class Encoder:
         st.patchgen_s = time.perf_counter() - t
 
         t = time.perf_counter()
+        if prev_patches and cfg.constrainedPack:
+            packing.match_patches(patches, prev_patches)
         width, height = packing.pack_flexible(patches, cfg)
         frame = atlas_mod.rasterize_frame(patches, width, height, cfg)
         st.packing_s = time.perf_counter() - t
@@ -205,12 +214,14 @@ class Encoder:
             occ_rec, patches, width, height, cfg.occupancyResolution
         )
 
-        # --- geometry videos: fused device fill+DCT+quant, host entropy
-        geo_payloads = [
-            codecs.encode_geometry(g, cfg, occ=frame.occupancy)
-            for g in (frame.geometry0, frame.geometry1)
-        ]
-        geo_dec = [codecs.decode_geometry(p, cfg) for p in geo_payloads]
+        # --- geometry videos: fused device fill+DCT+quant, host entropy,
+        # temporal prediction via the per-substream encoder state
+        geo_payloads = []
+        geo_dec = []
+        for name, g in (("geo0", frame.geometry0), ("geo1", frame.geometry1)):
+            payload, dec = streams[name].encode(g, occ=frame.occupancy)
+            geo_payloads.append(payload)
+            geo_dec.append(dec)
         st.video_s = time.perf_counter() - t
 
         # --- reconstruction + geometry smoothing (device), shared with decoder
@@ -250,10 +261,12 @@ class Encoder:
         only0[rec_pix[m1, 1], rec_pix[m1, 0]] = False
         attr[1][only0] = attr[0][only0]
         # push-pull fill happens fused on device inside the codec
-        attr_payloads = [
-            codecs.encode_attribute(attr[ly], cfg, occ=frame.occupancy) for ly in (0, 1)
-        ]
-        attr_dec = [codecs.decode_attribute(p, cfg) for p in attr_payloads]
+        attr_payloads = []
+        attr_dec = []
+        for ly in (0, 1):
+            payload, dec = streams[f"attr{ly}"].encode(attr[ly], occ=frame.occupancy)
+            attr_payloads.append(payload)
+            attr_dec.append(dec)
         # encoder-side recon colors = decoded attribute at each point's pixel
         rec_col_dec = attr_dec[0][rec_pix[:, 1], rec_pix[:, 0]]
         m1 = rec_layer == 1
@@ -289,10 +302,28 @@ class Encoder:
         )
 
     # ------------------------------------------------------------------
+    def _new_streams(self) -> dict:
+        return {
+            "geo0": codecs.GeometrySubstreamEncoder(self.cfg),
+            "geo1": codecs.GeometrySubstreamEncoder(self.cfg),
+            "attr0": codecs.AttributeSubstreamEncoder(self.cfg),
+            "attr1": codecs.AttributeSubstreamEncoder(self.cfg),
+        }
+
     def encode_gof(self, frames: List[PointCloudData]) -> Tuple[bytes, List[PointCloudData]]:
-        """Encode a group of frames into one V3C sample stream."""
+        """Encode a group of frames into one V3C sample stream.
+
+        Frame 0 is an I-frame; later frames use temporally-consistent packing
+        (reference: spatialConsistencyPackFlexible, PCCEncoder.cpp:1183) and
+        P-frame video prediction when `constrainedPack` is on."""
         cfg = self.cfg
-        encoded = [self.encode_frame(f) for f in frames]
+        streams = self._new_streams()
+        encoded = []
+        prev_patches: List[Patch] | None = None
+        for f in frames:
+            e = self.encode_frame(f, streams=streams, prev_patches=prev_patches)
+            encoded.append(e)
+            prev_patches = e.patches
         width = max(e.width for e in encoded)
         height = max(e.height for e in encoded)
 

@@ -4,9 +4,16 @@ Reference: `PCCVirtualVideoEncoder<T>::create(codecId)`
 (source/lib/PccLibVideoEncoder/include/PCCVirtualVideoEncoder.h:67-74)
 selects HM/JM/VTM/...; here the codec id (signalled in our VPS) selects
 between the TPU-native transform codec and the lossless fallback.
+
+Substream coders are stateful: in random-access/low-delay GOPs the TPU codec
+predicts P-frames from the previous decoded frame (temporal residual coding),
+so encoder and decoder both thread per-substream reference state.
 """
 
 from __future__ import annotations
+
+import struct
+from typing import Optional
 
 import numpy as np
 
@@ -15,11 +22,18 @@ from vpcc_tpu.utils.config import VPCCConfig
 from vpcc_tpu.video import lossless
 
 
-def encode_occupancy(occ_video: np.ndarray, cfg: VPCCConfig) -> bytes:
-    """Lossless binary occupancy via the native context-adaptive arithmetic
-    coder (native/entropy.cpp), ~5-10x smaller than deflate on these maps."""
-    import struct
+def _lossless_geo(cfg: VPCCConfig) -> bool:
+    return cfg.geometryQP <= 4
 
+
+def _lossless_attr(cfg: VPCCConfig) -> bool:
+    return cfg.attributeQP <= 4
+
+
+# ---------------------------------------------------------------------------
+# occupancy (always lossless, intra, context arithmetic coder)
+
+def encode_occupancy(occ_video: np.ndarray, cfg: VPCCConfig) -> bytes:
     from vpcc_tpu.video import entropy
 
     h, w = occ_video.shape
@@ -27,45 +41,115 @@ def encode_occupancy(occ_video: np.ndarray, cfg: VPCCConfig) -> bytes:
 
 
 def decode_occupancy(payload: bytes, cfg: VPCCConfig) -> np.ndarray:
-    import struct
-
     from vpcc_tpu.video import entropy
 
     h, w = struct.unpack("<HH", payload[:4])
     return entropy.decode_binary_plane(payload[4:], h, w)
 
 
+# ---------------------------------------------------------------------------
+# geometry / attribute substreams (stateful)
+
+class GeometrySubstreamEncoder:
+    def __init__(self, cfg: VPCCConfig):
+        self.cfg = cfg
+        self.ref: Optional[np.ndarray] = None  # previous decoded float plane
+
+    def encode(self, geo: np.ndarray, occ=None, force_intra: bool = False):
+        """Returns (payload, decoded uint16 plane)."""
+        from vpcc_tpu.video import intra
+
+        cfg = self.cfg
+        if _lossless_geo(cfg) or not intra.AVAILABLE:
+            if occ is not None:
+                geo = intra.fill_plane_host(geo, occ)
+            geo = np.asarray(geo).astype(np.uint16)
+            payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(geo)
+            return payload, geo
+        ref = None if force_intra else self.ref
+        if ref is not None and ref.shape != geo.shape:
+            ref = None
+        payload, dec_f = intra.encode_plane_stream(
+            geo, qp=cfg.geometryQP, occ=occ, ref=ref
+        )
+        self.ref = dec_f
+        out = np.clip(np.round(dec_f), 0, (1 << cfg.geometryBitDepth2D) - 1).astype(np.uint16)
+        return bytes([v3c.CODEC_TPU_INTRA]) + payload, out
+
+
+class GeometrySubstreamDecoder:
+    def __init__(self, cfg: VPCCConfig):
+        self.cfg = cfg
+        self.ref: Optional[np.ndarray] = None
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        from vpcc_tpu.video import intra
+
+        codec = payload[0]
+        if codec == v3c.CODEC_LOSSLESS_ZLIB:
+            return lossless.decode_plane(payload[1:])
+        dec_f = intra.decode_plane_stream(payload[1:], ref=self.ref)
+        self.ref = dec_f
+        return np.clip(np.round(dec_f), 0, (1 << self.cfg.geometryBitDepth2D) - 1).astype(np.uint16)
+
+
+class AttributeSubstreamEncoder:
+    def __init__(self, cfg: VPCCConfig):
+        self.cfg = cfg
+        self.refs = None  # (y, cb, cr) previous decoded float planes
+
+    def encode(self, attr: np.ndarray, occ=None, force_intra: bool = False):
+        """Returns (payload, decoded RGB uint8)."""
+        from vpcc_tpu.video import intra
+
+        cfg = self.cfg
+        if _lossless_attr(cfg) or not intra.AVAILABLE:
+            if occ is not None:
+                attr = intra.fill_rgb_host(attr, occ)
+            attr = np.asarray(attr).astype(np.uint8)
+            payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(attr)
+            return payload, attr
+        refs = None if force_intra else self.refs
+        if refs is not None and refs[0].shape != attr.shape[:2]:
+            refs = None
+        payload, dec_rgb, new_refs = intra.encode_rgb_stream(
+            attr, qp=cfg.attributeQP, occ=occ, refs=refs
+        )
+        self.refs = new_refs
+        return bytes([v3c.CODEC_TPU_INTRA]) + payload, dec_rgb
+
+
+class AttributeSubstreamDecoder:
+    def __init__(self, cfg: VPCCConfig):
+        self.cfg = cfg
+        self.refs = None
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        from vpcc_tpu.video import intra
+
+        codec = payload[0]
+        if codec == v3c.CODEC_LOSSLESS_ZLIB:
+            return lossless.decode_plane(payload[1:])
+        dec_rgb, new_refs = intra.decode_rgb_stream(payload[1:], refs=self.refs)
+        self.refs = new_refs
+        return dec_rgb
+
+
+# ---------------------------------------------------------------------------
+# stateless wrappers (all-intra convenience; used by the decoder for
+# single-shot decode and by tests)
+
 def encode_geometry(geo: np.ndarray, cfg: VPCCConfig, occ=None) -> bytes:
-    from vpcc_tpu.video import intra
-    if cfg.geometryQP <= 4 or not intra.AVAILABLE:
-        if occ is not None:
-            geo = intra.fill_plane_host(geo, occ)
-        return bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(np.asarray(geo).astype(np.uint16))
-    return bytes([v3c.CODEC_TPU_INTRA]) + intra.encode_frame_mono(
-        geo, qp=cfg.geometryQP, bitdepth=cfg.geometryBitDepth2D, occ=occ
-    )
+    return GeometrySubstreamEncoder(cfg).encode(geo, occ=occ)[0]
 
 
 def decode_geometry(payload: bytes, cfg: VPCCConfig) -> np.ndarray:
-    from vpcc_tpu.video import intra
-    codec = payload[0]
-    if codec == v3c.CODEC_LOSSLESS_ZLIB:
-        return lossless.decode_plane(payload[1:])
-    return intra.decode_frame_mono(payload[1:]).astype(np.uint16)
+    return GeometrySubstreamDecoder(cfg).decode(payload)
 
 
 def encode_attribute(attr: np.ndarray, cfg: VPCCConfig, occ=None) -> bytes:
-    from vpcc_tpu.video import intra
-    if cfg.attributeQP <= 4 or not intra.AVAILABLE:
-        if occ is not None:
-            attr = intra.fill_rgb_host(attr, occ)
-        return bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(np.asarray(attr).astype(np.uint8))
-    return bytes([v3c.CODEC_TPU_INTRA]) + intra.encode_frame_rgb(attr, qp=cfg.attributeQP, occ=occ)
+    return AttributeSubstreamEncoder(cfg).encode(attr, occ=occ)[0]
 
 
 def decode_attribute(payload: bytes, cfg: VPCCConfig) -> np.ndarray:
-    from vpcc_tpu.video import intra
-    codec = payload[0]
-    if codec == v3c.CODEC_LOSSLESS_ZLIB:
-        return lossless.decode_plane(payload[1:])
-    return intra.decode_frame_rgb(payload[1:])
+    return AttributeSubstreamDecoder(cfg).decode(payload)

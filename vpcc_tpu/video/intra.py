@@ -33,65 +33,135 @@ from vpcc_tpu.video import color, entropy, transform
 AVAILABLE = True
 
 
-@functools.partial(jax.jit, static_argnames=("qp",))
-def _fill_forward(plane: jax.Array, occ: jax.Array, qp: int) -> jax.Array:
-    """Fused device pass: push-pull background fill -> DCT -> quant ->
-    DC-DPCM.  One dispatch, one (nblocks, 64) int32 download."""
-    filled = padding.push_pull_fill(plane, occ)
-    return transform.dc_dpcm(transform.forward(filled, qp))
-
-
-@functools.partial(jax.jit, static_argnames=("qp",))
-def _forward_only(plane: jax.Array, qp: int) -> jax.Array:
-    return transform.dc_dpcm(transform.forward(plane.astype(jnp.float32), qp))
-
-
-def _encode_plane(plane, qp: int, occ=None) -> Tuple[bytes, np.ndarray]:
-    """Returns (payload bytes, decoded plane float32) for one (H, W) plane.
-    H, W must be multiples of 8. `plane` may be a jax or numpy array; with
-    `occ` given, unoccupied pixels are push-pull filled on device first."""
-    h, w = plane.shape
+@functools.partial(jax.jit, static_argnames=("qp", "inter"))
+def _fill_forward(plane: jax.Array, occ, ref, qp: int, inter: bool) -> jax.Array:
+    """Fused device pass: push-pull background fill -> (optional temporal
+    prediction) -> DCT -> quant -> DC-DPCM.  One dispatch, one
+    (nblocks, 64) int32 download."""
+    x = plane.astype(jnp.float32)
     if occ is not None:
-        coeffs = _fill_forward(jnp.asarray(plane, jnp.float32), jnp.asarray(occ), qp)
-    else:
-        coeffs = _forward_only(jnp.asarray(plane), qp)
+        x = padding.push_pull_fill(x, occ)
+    if inter:
+        x = x - ref
+    return transform.dc_dpcm(transform.forward(x, qp))
+
+
+def _encode_plane(plane, qp: int, occ=None, ref=None) -> Tuple[bytes, np.ndarray]:
+    """Returns (payload bytes, decoded plane float32) for one (H, W) plane.
+    H, W must be multiples of 8.  With `occ` given, unoccupied pixels are
+    push-pull filled on device first; with `ref` (previous decoded plane,
+    float32), the frame is coded as a temporal residual (P-frame)."""
+    h, w = plane.shape
+    inter = ref is not None
+    ref_dev = jnp.zeros((h, w), jnp.float32) if ref is None else jnp.asarray(ref, jnp.float32)
+    coeffs = _fill_forward(
+        jnp.asarray(plane, jnp.float32),
+        None if occ is None else jnp.asarray(occ),
+        ref_dev, qp, inter,
+    )
     coeffs_h = np.asarray(coeffs)
     payload = entropy.encode_coeffs(coeffs_h)
     # encoder-side reconstruction (must match decoder bit-exactly)
-    dec = _decode_plane_from_coeffs(coeffs_h, qp, h, w)
+    dec = _decode_plane_from_coeffs(coeffs_h, qp, h, w, ref=ref)
     return payload, dec
 
 
-def _decode_plane_from_coeffs(coeffs: np.ndarray, qp: int, h: int, w: int) -> np.ndarray:
+def _decode_plane_from_coeffs(coeffs: np.ndarray, qp: int, h: int, w: int, ref=None) -> np.ndarray:
     c = transform.dc_dpcm_inverse(jnp.asarray(coeffs))
-    return np.asarray(transform.inverse(c, qp, h, w))
+    x = transform.inverse(c, qp, h, w)
+    if ref is not None:
+        x = x + jnp.asarray(ref, jnp.float32)
+    return np.asarray(x)
 
 
-def _decode_plane(payload: bytes, qp: int, h: int, w: int) -> np.ndarray:
+def _decode_plane(payload: bytes, qp: int, h: int, w: int, ref=None) -> np.ndarray:
     nblocks = (h // 8) * (w // 8)
     coeffs = entropy.decode_coeffs(payload, nblocks)
-    return _decode_plane_from_coeffs(coeffs, qp, h, w)
+    return _decode_plane_from_coeffs(coeffs, qp, h, w, ref=ref)
 
 
-def _pack(planes: List[Tuple[np.ndarray, int, bytes]]) -> bytes:
+def _pack(planes: List[Tuple[tuple, int, bytes]], flags: int = 0) -> bytes:
     out = bytearray()
     out.append(len(planes))
     for shape_hw, qp, payload in planes:
-        out.extend(struct.pack("<HHBBI", shape_hw[0], shape_hw[1], qp, 0, len(payload)))
+        out.extend(struct.pack("<HHBBI", shape_hw[0], shape_hw[1], qp, flags, len(payload)))
         out.extend(payload)
     return bytes(out)
 
 
-def _unpack(data: bytes) -> List[Tuple[Tuple[int, int], int, bytes]]:
+def _unpack(data: bytes) -> List[Tuple[Tuple[int, int], int, bytes, int]]:
     n = data[0]
     pos = 1
     planes = []
     for _ in range(n):
-        h, w, qp, _flags, ln = struct.unpack("<HHBBI", data[pos : pos + 10])
+        h, w, qp, flags, ln = struct.unpack("<HHBBI", data[pos : pos + 10])
         pos += 10
-        planes.append(((h, w), qp, data[pos : pos + ln]))
+        planes.append(((h, w), qp, data[pos : pos + ln], flags))
         pos += ln
     return planes
+
+
+# ---------------------------------------------------------------------------
+# stream-level API (temporal prediction; used by video.codecs substreams)
+
+FLAG_INTER = 1
+
+
+def encode_plane_stream(plane, qp: int, occ=None, ref=None):
+    """Returns (payload, decoded float32 plane).  `ref` = previous decoded
+    float plane enables P-frame residual coding (flag in the header)."""
+    payload, dec = _encode_plane(plane, qp, occ=occ, ref=ref)
+    flags = FLAG_INTER if ref is not None else 0
+    return _pack([(tuple(plane.shape), qp, payload)], flags=flags), dec
+
+
+def decode_plane_stream(data: bytes, ref=None):
+    (hw, qp, payload, flags), = _unpack(data)
+    use_ref = ref if (flags & FLAG_INTER) else None
+    return _decode_plane(payload, qp, hw[0], hw[1], ref=use_ref)
+
+
+def encode_rgb_stream(attr, qp: int, occ=None, refs=None):
+    """Returns (payload, decoded RGB uint8, new_refs (y, cb, cr))."""
+    y, cb, cr = _rgb_to_planes(
+        jnp.asarray(attr), None if occ is None else jnp.asarray(occ)
+    )
+    chroma_qp = min(qp + 3, 51)
+    ry, rcb, rcr = refs if refs is not None else (None, None, None)
+    py, dy = _encode_plane(y, qp, ref=ry)
+    pcb, dcb = _encode_plane(cb, chroma_qp, ref=rcb)
+    pcr, dcr = _encode_plane(cr, chroma_qp, ref=rcr)
+    flags = FLAG_INTER if refs is not None else 0
+    payload = _pack(
+        [(tuple(y.shape), qp, py), (tuple(cb.shape), chroma_qp, pcb), (tuple(cr.shape), chroma_qp, pcr)],
+        flags=flags,
+    )
+    rgb = _planes_to_rgb(dy, dcb, dcr)
+    return payload, rgb, (dy, dcb, dcr)
+
+
+def decode_rgb_stream(data: bytes, refs=None):
+    planes = _unpack(data)
+    (hwy, qpy, py, flags), (hwc, qpc, pcb, _), (_, _, pcr, _) = planes
+    if not (flags & FLAG_INTER):
+        refs = None
+    ry, rcb, rcr = refs if refs is not None else (None, None, None)
+    dy = _decode_plane(py, qpy, hwy[0], hwy[1], ref=ry)
+    dcb = _decode_plane(pcb, qpc, hwc[0], hwc[1], ref=rcb)
+    dcr = _decode_plane(pcr, qpc, hwc[0], hwc[1], ref=rcr)
+    return _planes_to_rgb(dy, dcb, dcr), (dy, dcb, dcr)
+
+
+def _planes_to_rgb(y, cb, cr) -> np.ndarray:
+    ycc = jnp.stack(
+        [
+            jnp.asarray(y),
+            color.upsample_420(jnp.asarray(cb)),
+            color.upsample_420(jnp.asarray(cr)),
+        ],
+        axis=-1,
+    )
+    return np.asarray(color.ycbcr_to_rgb(ycc))
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +190,7 @@ def encode_frame_mono(plane, qp: int, bitdepth: int = 8, occ=None) -> bytes:
 
 
 def decode_frame_mono(data: bytes, bitdepth: int = 8) -> np.ndarray:
-    (hw, qp, payload), = _unpack(data)
+    (hw, qp, payload, _flags), = _unpack(data)
     dec = _decode_plane(payload, qp, hw[0], hw[1])
     return np.clip(np.round(dec), 0, (1 << bitdepth) - 1).astype(np.uint16)
 
@@ -158,17 +228,5 @@ def encode_frame_rgb(attr, qp: int, occ=None) -> bytes:
 
 
 def decode_frame_rgb(data: bytes) -> np.ndarray:
-    planes = _unpack(data)
-    (hwy, qpy, py), (hwc, qpc, pcb), (_, _, pcr) = planes
-    y = _decode_plane(py, qpy, hwy[0], hwy[1])
-    cb = _decode_plane(pcb, qpc, hwc[0], hwc[1])
-    cr = _decode_plane(pcr, qpc, hwc[0], hwc[1])
-    ycc = jnp.stack(
-        [
-            jnp.asarray(y),
-            color.upsample_420(jnp.asarray(cb)),
-            color.upsample_420(jnp.asarray(cr)),
-        ],
-        axis=-1,
-    )
-    return np.asarray(color.ycbcr_to_rgb(ycc))
+    rgb, _refs = decode_rgb_stream(data)
+    return rgb
