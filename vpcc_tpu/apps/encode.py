@@ -17,6 +17,7 @@ from pathlib import Path
 
 import numpy as np
 
+from vpcc_tpu import conformance
 from vpcc_tpu.encoder import Encoder
 from vpcc_tpu.ops.metrics import compute_metrics
 from vpcc_tpu.utils.config import VPCCConfig
@@ -42,6 +43,7 @@ def main(argv=None) -> int:
     gof = cfg.groupOfFramesSize
     n_frames = cfg.frameCount
     recon_paths = []
+    conf_log = []
     fidx = cfg.startFrameNumber
     done = 0
     while done < n_frames:
@@ -53,6 +55,9 @@ def main(argv=None) -> int:
         stream, recons = enc.encode_gof(frames)
         all_stream.extend(len(stream).to_bytes(8, "big"))
         all_stream.extend(stream)
+        for i, (r, e) in enumerate(zip(recons, enc.last_encoded)):
+            conf_log.append(conformance.frame_log_entries(
+                fidx + i, r, len(e.patches), e.width, e.height))
         if cfg.reconstructedDataPath:
             for i, r in enumerate(recons):
                 rp = format_frame_path(cfg.reconstructedDataPath, fidx + i)
@@ -71,6 +76,8 @@ def main(argv=None) -> int:
         fidx += count
 
     Path(out_path).write_bytes(bytes(all_stream))
+    if cfg.computeChecksum:
+        conformance.write_log(out_path + "_enc_pcframe_log.txt", conf_log)
     dt = time.perf_counter() - t0
     total_pts = sum(s.point_count for s in enc.stats)
     print(f"encoded {n_frames} frames, {len(all_stream)} bytes "

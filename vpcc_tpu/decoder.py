@@ -58,6 +58,7 @@ def _pdu_to_patch(pdu: v3c.PatchDataUnit, index: int, vps: v3c.V3CParameterSet) 
 class Decoder:
     def __init__(self, cfg: VPCCConfig | None = None):
         self.cfg = cfg or VPCCConfig()
+        self.frame_info: List[dict] = []
 
     def decode(self, stream: bytes) -> List[PointCloudData]:
         units = v3c.read_sample_stream(stream)
@@ -137,5 +138,8 @@ class Decoder:
             pc = PointCloudData(pos, col.astype(np.uint8))
             if cfg.removeDuplicatePoints:
                 pc = pc.remove_duplicates()
+            self.frame_info.append(
+                dict(patch_count=len(patches), width=width, height=height)
+            )
             out.append(pc)
         return out

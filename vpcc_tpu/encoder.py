@@ -69,6 +69,7 @@ class Encoder:
     def __init__(self, cfg: VPCCConfig):
         self.cfg = cfg
         self.stats: List[EncoderStats] = []
+        self.last_encoded: List[EncodedFrame] = []
 
     # ------------------------------------------------------------------
     def segment(self, pc_host: PointCloudData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -372,6 +373,7 @@ class Encoder:
         stream = v3c.write_sample_stream(units)
         for s in self.stats[-len(frames):]:
             s.compressed_bytes = len(stream) // len(frames)
+        self.last_encoded = encoded
         return stream, [e.recon for e in encoded]
 
 
