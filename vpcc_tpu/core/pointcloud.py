@@ -22,14 +22,18 @@ def round_up(x: int, m: int) -> int:
 
 
 def shape_bucket(n: int, minimum: int = 8192) -> int:
-    """Next power-of-two capacity >= n (>= minimum).
+    """Next capacity >= n from the {2^k, 3*2^(k-1)} ladder (>= minimum).
 
     Shape policy: every padded device array rounds its leading dimension to a
-    power-of-two bucket so XLA programs are compiled once per bucket, not once
-    per frame — compile time dominates wall-clock on first contact otherwise.
+    small set of buckets so XLA programs are compiled once per bucket, not
+    once per frame — compile time dominates wall-clock on first contact
+    otherwise.  The half-step (1.5x) rungs cap padding waste at 33%.
     """
     n = max(n, minimum)
-    return 1 << (n - 1).bit_length()
+    p = 1 << (n - 1).bit_length()
+    if n <= (p // 4) * 3:
+        return (p // 4) * 3
+    return p
 
 
 @jax.tree_util.register_dataclass

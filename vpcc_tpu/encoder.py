@@ -81,7 +81,7 @@ class Encoder:
         bits = cfg.geometryBitDepth3D
         grid = neighbors.build_grid(pc.positions, bits)
         k = max(cfg.maxNNCountPatchSegmentation, cfg.nnNormalEstimation)
-        nn_idx, nn_d2 = neighbors.knn(grid, pc.positions, pc.positions, k=k)
+        nn_idx, nn_d2 = neighbors.knn(grid, pc.positions, pc.positions, k=k, bucket=12)
         valid_rows = pc.valid_mask()
         nn_valid = (nn_d2 < neighbors.MAX_DIST2) & valid_rows[:, None]
 
@@ -160,7 +160,7 @@ class Encoder:
             qcap = shape_bucket(len(qsel))
             q = np.full((qcap, 3), PAD_COORD, np.int32)
             q[: len(qsel)] = positions[qsel]
-            _, d2 = neighbors.nearest(grid_r, rp_dev, jnp.asarray(q))
+            _, d2 = neighbors.nearest(grid_r, rp_dev, jnp.asarray(q), bucket=8)
             d2h = np.asarray(d2)[: len(qsel)].astype(np.float64)
             d2h[d2h >= float(neighbors.MAX_DIST2)] = np.inf
             dist2[qsel] = np.minimum(dist2[qsel], d2h)
@@ -243,9 +243,13 @@ class Encoder:
         rec_cap = shape_bucket(len(rec_pos))
         tp = np.full((rec_cap, 3), PAD_COORD, np.int32)
         tp[: len(rec_pos)] = rec_pos
+        exact_idx, has_exact = recolor.exact_matches(
+            sp, tp, pc_host.point_count, cfg.geometryBitDepth3D
+        )
         rec_col = recolor.transfer_colors(
             jnp.asarray(sp), jnp.asarray(sc), jnp.asarray(pc_host.point_count),
             jnp.asarray(tp), jnp.asarray(len(rec_pos)),
+            jnp.asarray(exact_idx), jnp.asarray(has_exact),
             grid_bits=cfg.geometryBitDepth3D,
             k=cfg.numNeighborsColorTransferFwd,
         )

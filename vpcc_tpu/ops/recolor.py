@@ -19,6 +19,26 @@ import jax.numpy as jnp
 from vpcc_tpu.ops import neighbors
 
 
+def exact_matches(src_pos, tgt_pos, n_src: int, bits: int):
+    """Host-side exact position matching: returns (exact_idx (Nt,) int32,
+    has_exact (Nt,) bool)."""
+    import numpy as np
+
+    sp = np.asarray(src_pos[:n_src], np.int64)
+    tp = np.asarray(tgt_pos, np.int64)
+    key_s = (sp[:, 0] << (2 * bits)) | (sp[:, 1] << bits) | sp[:, 2]
+    in_grid = np.all((tp >= 0) & (tp < (1 << bits)), axis=1)
+    key_t = np.where(
+        in_grid, (tp[:, 0] << (2 * bits)) | (tp[:, 1] << bits) | tp[:, 2], -1
+    )
+    order = np.argsort(key_s)
+    sk = key_s[order]
+    loc = np.clip(np.searchsorted(sk, key_t), 0, max(len(sk) - 1, 0))
+    has = np.zeros(len(tp), bool) if len(sk) == 0 else (sk[loc] == key_t)
+    idx = order[loc].astype(np.int32) if len(sk) else np.zeros(len(tp), np.int32)
+    return idx, has
+
+
 @functools.partial(jax.jit, static_argnames=("k", "grid_bits"))
 def transfer_colors(
     src_pos: jax.Array,   # (Ns, 3) int32 padded
@@ -26,32 +46,37 @@ def transfer_colors(
     src_count: jax.Array,
     tgt_pos: jax.Array,   # (Nt, 3) int32 padded
     tgt_count: jax.Array,
+    exact_idx: jax.Array,  # (Nt,) int32
+    has_exact: jax.Array,  # (Nt,) bool
     grid_bits: int = 10,
     k: int = 8,
 ) -> jax.Array:
-    """Returns (Nt, 3) int32 colors for the target cloud."""
+    """Returns (Nt, 3) int32 colors for the target cloud.
+
+    exact_idx/has_exact: per-target index of an identical source point (the
+    reference's skipAvgIfIdenticalSourcePointPresent shortcut,
+    PCCPointSet.h:306, and the lossless-attribute requirement).  Computed
+    host-side by `exact_matches` — NOTE: jax int64 is disabled by default,
+    so packed-coordinate keys cannot be built reliably on device."""
+    exact_src = exact_idx
+    has_exact = has_exact[:, None]
+
     grid_s = neighbors.build_grid(src_pos, grid_bits)
-    idx, d2 = neighbors.knn(grid_s, src_pos, tgt_pos, k=k)
+    idx, d2 = neighbors.knn(grid_s, src_pos, tgt_pos, k=k, bucket=8)
     valid = d2 < neighbors.MAX_DIST2
 
     d2f = d2.astype(jnp.float32)
-    # identical-point shortcut: if an exact match exists, use only matches
-    exact = (d2 == 0) & valid
-    has_exact = jnp.any(exact, axis=1, keepdims=True)
-    w = jnp.where(
-        has_exact,
-        exact.astype(jnp.float32),
-        valid.astype(jnp.float32) / jnp.maximum(d2f, 1e-8),
-    )
+    w = valid.astype(jnp.float32) / jnp.maximum(d2f, 1e-8)
     wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-8)
     cols = src_col[idx].astype(jnp.float32)  # (Nt, k, 3)
     out = jnp.sum(cols * w[..., None], axis=1) / wsum
+    out = jnp.where(has_exact, src_col[exact_src].astype(jnp.float32), out)
 
     # backward splat: every source point pushes its color to its nearest
     # target; blend 50/50 where forward and backward disagree strongly is
     # deferred — v0 averages backward contributions into the forward result.
     grid_t = neighbors.build_grid(tgt_pos, grid_bits)
-    tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos)
+    tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=8)
     svalid = (td2 < neighbors.MAX_DIST2) & (
         jnp.arange(src_pos.shape[0]) < src_count
     )
@@ -61,6 +86,8 @@ def transfer_colors(
     )
     cnt = jnp.zeros((nt,), jnp.float32).at[tidx].add(svalid.astype(jnp.float32))
     bwd = acc / jnp.maximum(cnt, 1.0)[:, None]
-    has_bwd = cnt > 0
+    # targets with an exact source match keep it verbatim (lossless path);
+    # only inexact targets blend in the backward splat
+    has_bwd = (cnt > 0) & ~has_exact[:, 0]
     blended = jnp.where(has_bwd[:, None], 0.5 * (out + bwd), out)
     return jnp.clip(jnp.round(blended), 0, 255).astype(jnp.int32)
