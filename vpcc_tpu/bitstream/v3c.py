@@ -31,9 +31,10 @@ V3C_GVD = 3
 V3C_AVD = 4
 
 # codec ids for the video payloads
-CODEC_LOSSLESS_ZLIB = 0   # host zlib (bring-up / lossless fallback)
-CODEC_TPU_INTRA = 1       # TPU-native intra transform codec
-CODEC_TPU_RLE = 2         # binary occupancy RLE+arith
+CODEC_LOSSLESS_ZLIB = 0    # host zlib (bring-up / lossless fallback)
+CODEC_TPU_INTRA = 1        # TPU-native intra transform codec
+CODEC_TPU_RLE = 2          # binary occupancy RLE+arith
+CODEC_LOSSLESS_DELTA = 3   # zlib of the mod-2^b delta against the layer-0 map
 
 
 @dataclasses.dataclass
@@ -156,6 +157,26 @@ class PatchDataUnit:
         return p
 
 
+def _nblocks64(n: int) -> int:
+    return (n + 63) // 64
+
+
+def _to_blocks64(vals: np.ndarray) -> np.ndarray:
+    """Pad a flat int array into (nblocks, 64) int32 'coefficient' blocks so
+    the adaptive arithmetic coefficient coder can serve as a generic integer
+    coder."""
+    v = np.asarray(vals, np.int64)
+    assert np.all(np.abs(v) < (1 << 31)), "value exceeds int32 coder range"
+    n = len(v)
+    out = np.zeros((_nblocks64(n), 64), np.int32)
+    out.reshape(-1)[:n] = v.astype(np.int32)
+    return out
+
+
+def _from_blocks64(blocks: np.ndarray, n: int) -> np.ndarray:
+    return blocks.reshape(-1)[:n].astype(np.int64)
+
+
 @dataclasses.dataclass
 class AtlasTileLayer:
     """One frame's atlas data (I-tile of patch data units + raw-points
@@ -180,17 +201,26 @@ class AtlasTileLayer:
             bw.u(5, self.geometry_bits)
             bw.u(1, 1 if self.raw_colors is not None else 0)
             bw.byte_align()
-            # fixed-width packed coords (entropy-coded upgrade: TODO)
+            # lexicographic sort -> packed-key deltas -> adaptive arithmetic
+            # coding (mortonOrderSortRawPoints equivalent; the coefficient
+            # syntax doubles as a generic adaptive integer coder)
+            from vpcc_tpu.video import entropy
+
+            b = self.geometry_bits
             pos = np.asarray(self.raw_positions, np.int64)
-            if self.geometry_bits <= 10:
-                packed = (pos[:, 0] << (2 * self.geometry_bits)) | (
-                    pos[:, 1] << self.geometry_bits
-                ) | pos[:, 2]
-                bw.bytes_(packed.astype("<u4").tobytes())
-            else:
-                bw.bytes_(pos.astype("<u2").tobytes())
+            keys = (pos[:, 0] << (2 * b)) | (pos[:, 1] << b) | pos[:, 2]
+            order = np.argsort(keys)
+            srt = pos[order]
+            deltas = np.diff(srt, axis=0, prepend=np.zeros((1, 3), np.int64))
+            payload = entropy.encode_coeffs(_to_blocks64(deltas.ravel()))
+            bw.ue(len(payload))
+            bw.bytes_(payload)
             if self.raw_colors is not None:
-                bw.bytes_(np.asarray(self.raw_colors, np.uint8).tobytes())
+                cols = np.asarray(self.raw_colors, np.int64)[order]
+                cdel = np.diff(cols, axis=0, prepend=np.zeros((1, 3), np.int64))
+                cpay = entropy.encode_coeffs(_to_blocks64(cdel.ravel()))
+                bw.ue(len(cpay))
+                bw.bytes_(cpay)
         bw.byte_align()
 
     @classmethod
@@ -201,22 +231,22 @@ class AtlasTileLayer:
         t.patches = [PatchDataUnit.read(br) for _ in range(n)]
         nraw = br.ue()
         if nraw:
+            from vpcc_tpu.video import entropy
+
             t.geometry_bits = br.u(5)
             has_col = br.u(1)
             br.byte_align()
-            if t.geometry_bits <= 10:
-                packed = np.frombuffer(br.bytes_(4 * nraw), "<u4").astype(np.int64)
-                b = t.geometry_bits
-                mask = (1 << b) - 1
-                t.raw_positions = np.stack(
-                    [(packed >> (2 * b)) & mask, (packed >> b) & mask, packed & mask], 1
-                ).astype(np.int32)
-            else:
-                t.raw_positions = (
-                    np.frombuffer(br.bytes_(6 * nraw), "<u2").astype(np.int32).reshape(-1, 3)
-                )
+            plen = br.ue()
+            deltas = _from_blocks64(
+                entropy.decode_coeffs(br.bytes_(plen), _nblocks64(nraw * 3)), nraw * 3
+            ).reshape(-1, 3)
+            t.raw_positions = np.cumsum(deltas, axis=0).astype(np.int32)
             if has_col:
-                t.raw_colors = np.frombuffer(br.bytes_(3 * nraw), np.uint8).reshape(-1, 3).copy()
+                clen = br.ue()
+                cdel = _from_blocks64(
+                    entropy.decode_coeffs(br.bytes_(clen), _nblocks64(nraw * 3)), nraw * 3
+                ).reshape(-1, 3)
+                t.raw_colors = np.cumsum(cdel, axis=0).astype(np.uint8)
         br.byte_align()
         return t
 

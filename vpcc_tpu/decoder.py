@@ -106,14 +106,16 @@ class Decoder:
             occ_video = codecs.decode_occupancy(occ_sub.frames[fi], cfg)
             occ = atlas_mod.upsample_occupancy(occ_video, vps.occupancy_precision)
             height, width = occ.shape
-            geo = [
-                geo_decs[m].decode(geo_subs[m].frames[fi]).astype(np.int32)
-                for m in sorted(geo_subs)
-            ]
-            attr = [
-                attr_decs[m].decode(attr_subs[m].frames[fi])
-                for m in sorted(attr_subs)
-            ]
+            geo = []
+            for m in sorted(geo_subs):
+                layer_ref = geo[0].astype(np.uint16) if geo else None
+                geo.append(
+                    geo_decs[m].decode(geo_subs[m].frames[fi], layer_ref=layer_ref).astype(np.int32)
+                )
+            attr = []
+            for m in sorted(attr_subs):
+                layer_ref = attr[0] if attr else None
+                attr.append(attr_decs[m].decode(attr_subs[m].frames[fi], layer_ref=layer_ref))
             btp = atlas_mod.derive_block_to_patch(
                 occ, patches, width, height, vps.occupancy_resolution
             )

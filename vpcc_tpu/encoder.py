@@ -72,9 +72,12 @@ class Encoder:
         self.last_encoded: List[EncodedFrame] = []
 
     # ------------------------------------------------------------------
-    def segment(self, pc_host: PointCloudData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Device segmentation stage: returns (partition (N,), nn_idx (N,K),
-        nn_valid (N,K)) on host for the N real points."""
+    def segment_dispatch(self, pc_host: PointCloudData):
+        """Asynchronously dispatch the device segmentation stage; returns
+        opaque futures (jax arrays).  Consumed by `segment_fetch`.  Because
+        jax dispatch is async, the device crunches frame i+1's segmentation
+        while the host runs frame i's patch generation/packing/entropy —
+        free cross-frame pipelining."""
         cfg = self.cfg
         n = pc_host.point_count
         pc = from_host(pc_host)
@@ -96,11 +99,20 @@ class Encoder:
             nrm, part, nn_idx, nn_valid, orients,
             cfg.lambdaRefineSegmentation, cfg.iterationCountRefineSegmentation,
         )
+        return part, nn_idx, nn_valid, n
+
+    @staticmethod
+    def segment_fetch(futures) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        part, nn_idx, nn_valid, n = futures
         return (
             np.asarray(part)[:n],
             np.asarray(nn_idx)[:n],
             np.asarray(nn_valid)[:n],
         )
+
+    def segment(self, pc_host: PointCloudData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Synchronous segmentation (dispatch + fetch)."""
+        return self.segment_fetch(self.segment_dispatch(pc_host))
 
     # ------------------------------------------------------------------
     def generate_patches(
@@ -172,6 +184,7 @@ class Encoder:
         pc_host: PointCloudData,
         streams: "dict | None" = None,
         prev_patches: "List[Patch] | None" = None,
+        seg: "tuple | None" = None,
     ) -> EncodedFrame:
         cfg = self.cfg
         if streams is None:
@@ -179,7 +192,9 @@ class Encoder:
         st = EncoderStats(point_count=pc_host.point_count)
         t0 = time.perf_counter()
 
-        partition, nn_idx, nn_valid = self.segment(pc_host)
+        if seg is None:
+            seg = self.segment_dispatch(pc_host)
+        partition, nn_idx, nn_valid = self.segment_fetch(seg)
         st.segmentation_s = time.perf_counter() - t0
 
         t = time.perf_counter()
@@ -220,7 +235,10 @@ class Encoder:
         geo_payloads = []
         geo_dec = []
         for name, g in (("geo0", frame.geometry0), ("geo1", frame.geometry1)):
-            payload, dec = streams[name].encode(g, occ=frame.occupancy)
+            payload, dec = streams[name].encode(
+                g, occ=frame.occupancy,
+                layer_ref=geo_dec[0] if geo_dec else None,
+            )
             geo_payloads.append(payload)
             geo_dec.append(dec)
         st.video_s = time.perf_counter() - t
@@ -269,7 +287,10 @@ class Encoder:
         attr_payloads = []
         attr_dec = []
         for ly in (0, 1):
-            payload, dec = streams[f"attr{ly}"].encode(attr[ly], occ=frame.occupancy)
+            payload, dec = streams[f"attr{ly}"].encode(
+                attr[ly], occ=frame.occupancy,
+                layer_ref=attr_dec[0] if attr_dec else None,
+            )
             attr_payloads.append(payload)
             attr_dec.append(dec)
         # encoder-side recon colors = decoded attribute at each point's pixel
@@ -325,8 +346,15 @@ class Encoder:
         streams = self._new_streams()
         encoded = []
         prev_patches: List[Patch] | None = None
-        for f in frames:
-            e = self.encode_frame(f, streams=streams, prev_patches=prev_patches)
+        pending_seg = self.segment_dispatch(frames[0]) if frames else None
+        for i, f in enumerate(frames):
+            seg = pending_seg
+            # dispatch frame i+1 BEFORE consuming frame i's results: the
+            # device pipelines the next segmentation under this frame's
+            # host-side stages (patch gen, packing, entropy)
+            if i + 1 < len(frames):
+                pending_seg = self.segment_dispatch(frames[i + 1])
+            e = self.encode_frame(f, streams=streams, prev_patches=prev_patches, seg=seg)
             encoded.append(e)
             prev_patches = e.patches
         width = max(e.width for e in encoded)

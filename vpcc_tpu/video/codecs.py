@@ -55,8 +55,11 @@ class GeometrySubstreamEncoder:
         self.cfg = cfg
         self.ref: Optional[np.ndarray] = None  # previous decoded float plane
 
-    def encode(self, geo: np.ndarray, occ=None, force_intra: bool = False):
-        """Returns (payload, decoded uint16 plane)."""
+    def encode(self, geo: np.ndarray, occ=None, force_intra: bool = False, layer_ref=None):
+        """Returns (payload, decoded uint16 plane).  `layer_ref` = decoded
+        layer-0 map enables inter-layer delta coding (D1 differs from D0 in
+        few pixels; reference codes D1 as a delta map when absoluteD1=0,
+        PCCEncoder.cpp:4064 predictGeometryFrame)."""
         from vpcc_tpu.video import intra
 
         cfg = self.cfg
@@ -64,7 +67,13 @@ class GeometrySubstreamEncoder:
             if occ is not None:
                 geo = intra.fill_plane_host(geo, occ)
             geo = np.asarray(geo).astype(np.uint16)
-            payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(geo)
+            if layer_ref is not None and layer_ref.shape == geo.shape:
+                delta = (geo.astype(np.int32) - layer_ref.astype(np.int32)) % 65536
+                payload = bytes([v3c.CODEC_LOSSLESS_DELTA]) + lossless.encode_plane(
+                    delta.astype(np.uint16)
+                )
+            else:
+                payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(geo)
             return payload, geo
         ref = None if force_intra else self.ref
         if ref is not None and ref.shape != geo.shape:
@@ -82,12 +91,15 @@ class GeometrySubstreamDecoder:
         self.cfg = cfg
         self.ref: Optional[np.ndarray] = None
 
-    def decode(self, payload: bytes) -> np.ndarray:
+    def decode(self, payload: bytes, layer_ref=None) -> np.ndarray:
         from vpcc_tpu.video import intra
 
         codec = payload[0]
         if codec == v3c.CODEC_LOSSLESS_ZLIB:
             return lossless.decode_plane(payload[1:])
+        if codec == v3c.CODEC_LOSSLESS_DELTA:
+            delta = lossless.decode_plane(payload[1:])
+            return ((delta.astype(np.int32) + layer_ref.astype(np.int32)) % 65536).astype(np.uint16)
         dec_f = intra.decode_plane_stream(payload[1:], ref=self.ref)
         self.ref = dec_f
         return np.clip(np.round(dec_f), 0, (1 << self.cfg.geometryBitDepth2D) - 1).astype(np.uint16)
@@ -98,7 +110,7 @@ class AttributeSubstreamEncoder:
         self.cfg = cfg
         self.refs = None  # (y, cb, cr) previous decoded float planes
 
-    def encode(self, attr: np.ndarray, occ=None, force_intra: bool = False):
+    def encode(self, attr: np.ndarray, occ=None, force_intra: bool = False, layer_ref=None):
         """Returns (payload, decoded RGB uint8)."""
         from vpcc_tpu.video import intra
 
@@ -107,7 +119,13 @@ class AttributeSubstreamEncoder:
             if occ is not None:
                 attr = intra.fill_rgb_host(attr, occ)
             attr = np.asarray(attr).astype(np.uint8)
-            payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(attr)
+            if layer_ref is not None and layer_ref.shape == attr.shape:
+                delta = (attr.astype(np.int16) - layer_ref.astype(np.int16)) % 256
+                payload = bytes([v3c.CODEC_LOSSLESS_DELTA]) + lossless.encode_plane(
+                    delta.astype(np.uint8)
+                )
+            else:
+                payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(attr)
             return payload, attr
         refs = None if force_intra else self.refs
         if refs is not None and refs[0].shape != attr.shape[:2]:
@@ -124,12 +142,15 @@ class AttributeSubstreamDecoder:
         self.cfg = cfg
         self.refs = None
 
-    def decode(self, payload: bytes) -> np.ndarray:
+    def decode(self, payload: bytes, layer_ref=None) -> np.ndarray:
         from vpcc_tpu.video import intra
 
         codec = payload[0]
         if codec == v3c.CODEC_LOSSLESS_ZLIB:
             return lossless.decode_plane(payload[1:])
+        if codec == v3c.CODEC_LOSSLESS_DELTA:
+            delta = lossless.decode_plane(payload[1:])
+            return ((delta.astype(np.int16) + layer_ref.astype(np.int16)) % 256).astype(np.uint8)
         dec_rgb, new_refs = intra.decode_rgb_stream(payload[1:], refs=self.refs)
         self.refs = new_refs
         return dec_rgb
