@@ -62,6 +62,8 @@ class V3CParameterSet:
     smoothing_enabled: int = 1
     smoothing_grid_size: int = 8
     smoothing_threshold: int = 64
+    color_smoothing_enabled: int = 0
+    color_smoothing_grid_size: int = 4
 
     def write(self, bw: BitWriter) -> None:
         bw.u(4, self.vps_id)
@@ -81,6 +83,8 @@ class V3CParameterSet:
         bw.u(1, self.smoothing_enabled)
         bw.u(8, self.smoothing_grid_size)
         bw.u(16, self.smoothing_threshold)
+        bw.u(1, self.color_smoothing_enabled)
+        bw.u(8, self.color_smoothing_grid_size)
         bw.byte_align()
 
     @classmethod
@@ -103,6 +107,8 @@ class V3CParameterSet:
         v.smoothing_enabled = br.u(1)
         v.smoothing_grid_size = br.u(8)
         v.smoothing_threshold = br.u(16)
+        v.color_smoothing_enabled = br.u(1)
+        v.color_smoothing_grid_size = br.u(8)
         br.byte_align()
         return v
 

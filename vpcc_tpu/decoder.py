@@ -95,6 +95,8 @@ class Decoder:
         cfg.gridSmoothing = vps.smoothing_enabled
         cfg.gridSize = vps.smoothing_grid_size
         cfg.thresholdSmoothing = float(vps.smoothing_threshold)
+        cfg.flagColorSmoothing = vps.color_smoothing_enabled
+        cfg.cgridSize = vps.color_smoothing_grid_size
 
         out: List[PointCloudData] = []
         geo_decs = {m: codecs.GeometrySubstreamDecoder(cfg) for m in geo_subs}
@@ -121,13 +123,14 @@ class Decoder:
             )
             cfg.occupancyResolution = vps.occupancy_resolution
             cfg.geometry3dCoordinatesBitdepth = vps.geometry_3d_bitdepth
-            pos, pix_s, lay_s, _pid = pipeline.reconstruct_frame_points(
+            pos, pix_s, lay_s, pid_s, bnd_s = pipeline.reconstruct_frame_points(
                 occ, geo, btp, patches, cfg
             )
             col = attr[0][pix_s[:, 1], pix_s[:, 0]]
             if len(attr) > 1:
                 m1 = lay_s == 1
                 col[m1] = attr[1][pix_s[m1, 1], pix_s[m1, 0]]
+            col = pipeline.apply_color_smoothing(pos, col, pid_s, bnd_s, cfg)
             tile = tiles[fi]
             if tile.raw_positions is not None:
                 pos = np.concatenate([pos, tile.raw_positions], 0)

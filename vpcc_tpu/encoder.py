@@ -245,7 +245,7 @@ class Encoder:
 
         # --- reconstruction + geometry smoothing (device), shared with decoder
         t = time.perf_counter()
-        rec_pos, rec_pix, rec_layer, _pid = pipeline.reconstruct_frame_points(
+        rec_pos, rec_pix, rec_layer, rec_pid, rec_bnd = pipeline.reconstruct_frame_points(
             occ_rec, geo_dec, btp, patches, cfg
         )
         st.reconstruct_s = time.perf_counter() - t
@@ -297,6 +297,8 @@ class Encoder:
         rec_col_dec = attr_dec[0][rec_pix[:, 1], rec_pix[:, 0]]
         m1 = rec_layer == 1
         rec_col_dec[m1] = attr_dec[1][rec_pix[m1, 1], rec_pix[m1, 0]]
+        rec_col_dec = pipeline.apply_color_smoothing(
+            rec_pos, rec_col_dec, rec_pid, rec_bnd, cfg)
         st.video_s += time.perf_counter() - t
 
         if raw_positions is not None:
@@ -373,6 +375,8 @@ class Encoder:
             smoothing_enabled=int(bool(cfg.flagGeometrySmoothing and cfg.gridSmoothing)),
             smoothing_grid_size=cfg.gridSize,
             smoothing_threshold=int(cfg.thresholdSmoothing),
+            color_smoothing_enabled=int(bool(cfg.flagColorSmoothing)),
+            color_smoothing_grid_size=cfg.cgridSize,
         )
         bw = BitWriter()
         vps.write(bw)

@@ -42,6 +42,9 @@ class FrameMetrics:
     c2p_mse: float
     c2p_psnr: float
     color_psnr: tuple  # (Y, U, V)
+    c2c_hausdorff: float = 0.0
+    c2c_hausdorff_psnr: float = float("inf")
+    reflectance_psnr: float = float("inf")
 
     def summary(self) -> str:
         return (
@@ -82,6 +85,7 @@ def _directional(
     w = jnp.asarray(valid_a).astype(jnp.float32)
     num = jnp.maximum(jnp.sum(w), 1.0)
     mse_c2c = jnp.sum(d2.astype(jnp.float32) * w) / num
+    haus = jnp.max(d2.astype(jnp.float32) * w)
     err = (pos_a - pos_b[idx]).astype(jnp.float32)
     if normals_b is not None:
         proj = jnp.sum(err * normals_b[idx], axis=-1)
@@ -95,7 +99,7 @@ def _directional(
         mse_col = jnp.sum(ce * w[:, None], axis=0) / num
     else:
         mse_col = jnp.zeros((3,), jnp.float32)
-    return mse_c2c, mse_c2p, mse_col
+    return mse_c2c, mse_c2p, mse_col, haus
 
 
 def compute_metrics(
@@ -138,6 +142,7 @@ def compute_metrics(
     c2c = max(float(ab[0]), float(ba[0]))
     c2p = max(float(ab[1]), float(ba[1]))
     col = np.maximum(np.asarray(ab[2]), np.asarray(ba[2]))
+    haus = max(float(ab[3]), float(ba[3]))
 
     def psnr(mse, peak, factor=1.0):
         if mse <= 0:
@@ -150,4 +155,6 @@ def compute_metrics(
         c2p_mse=c2p,
         c2p_psnr=psnr(c2p, resolution, 3.0),
         color_psnr=tuple(psnr(float(m), 1.0) for m in col),
+        c2c_hausdorff=haus,
+        c2c_hausdorff_psnr=psnr(haus, resolution, 3.0),
     )

@@ -102,50 +102,62 @@ def _gather_candidates(
     return cidx.reshape(m, 27 * bucket), d2.reshape(m, 27 * bucket)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bucket", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "bucket"))
+def _knn_chunk(grid: NeighborGrid, positions, qc, k: int, bucket: int):
+    cidx, cd2 = _gather_candidates(grid, positions, qc, bucket)
+    if k == 1:
+        # argmin compiles an order of magnitude faster than top_k
+        best = jnp.argmin(cd2, axis=1)
+        return (
+            jnp.take_along_axis(cidx, best[:, None], axis=1),
+            jnp.take_along_axis(cd2, best[:, None], axis=1),
+        )
+    topv, topi = jax.lax.top_k(-cd2, k)
+    idx = jnp.take_along_axis(cidx, topi, axis=1)
+    return idx, -topv
+
+
 def knn(
     grid: NeighborGrid,
     positions: jax.Array,
     queries: jax.Array,
     k: int,
     bucket: int = 16,
-    chunk: int = 65536,
+    chunk: int = 1 << 18,
 ) -> Tuple[jax.Array, jax.Array]:
     """k nearest neighbors (including an identical point / self).
 
     Returns (idx (M, k) int32, dist2 (M, k) int32); missing neighbors have
-    dist2 == MAX_DIST2 and idx == 0.  Queries are processed in fixed-size
-    chunks to bound candidate-buffer memory.
+    dist2 == MAX_DIST2 and idx == 0.
+
+    Queries run in fixed-size chunks to bound the candidate-buffer memory.
+    The chunk loop lives in PYTHON dispatching one jitted chunk program:
+    the platform's remote compiler unrolls lax.scan bodies, so a scan over
+    chunks compiled in O(minutes); one chunk program compiles once and is
+    reused (and under an outer trace the loop unrolls, which is fine for
+    the small chunk counts involved).
     """
     m = queries.shape[0]
+    if m <= chunk:
+        idx, d2 = _knn_chunk(grid, positions, queries, k, bucket)
+        return idx, d2
     pad_m = ((m + chunk - 1) // chunk) * chunk
     qp = jnp.pad(queries, ((0, pad_m - m), (0, 0)), constant_values=-(1 << 20))
-    qchunks = qp.reshape(pad_m // chunk, chunk, 3)
-
-    def one_chunk(qc):
-        cidx, cd2 = _gather_candidates(grid, positions, qc, bucket)
-        if k == 1:
-            # argmin compiles an order of magnitude faster than top_k
-            best = jnp.argmin(cd2, axis=1)
-            return (
-                jnp.take_along_axis(cidx, best[:, None], axis=1),
-                jnp.take_along_axis(cd2, best[:, None], axis=1),
-            )
-        topv, topi = jax.lax.top_k(-cd2, k)
-        idx = jnp.take_along_axis(cidx, topi, axis=1)
-        return idx, -topv
-
-    idx, d2 = jax.lax.map(one_chunk, qchunks)
-    return idx.reshape(pad_m, k)[:m], d2.reshape(pad_m, k)[:m]
+    outs = [
+        _knn_chunk(grid, positions, jax.lax.dynamic_slice_in_dim(qp, i * chunk, chunk), k, bucket)
+        for i in range(pad_m // chunk)
+    ]
+    idx = jnp.concatenate([o[0] for o in outs], axis=0)
+    d2 = jnp.concatenate([o[1] for o in outs], axis=0)
+    return idx[:m], d2[:m]
 
 
-@functools.partial(jax.jit, static_argnames=("bucket", "chunk"))
 def nearest(
     grid: NeighborGrid,
     positions: jax.Array,
     queries: jax.Array,
     bucket: int = 16,
-    chunk: int = 65536,
+    chunk: int = 1 << 18,
 ) -> Tuple[jax.Array, jax.Array]:
     """Nearest single neighbor: returns (idx (M,), dist2 (M,))."""
     idx, d2 = knn(grid, positions, queries, k=1, bucket=bucket, chunk=chunk)

@@ -39,7 +39,6 @@ def exact_matches(src_pos, tgt_pos, n_src: int, bits: int):
     return idx, has
 
 
-@functools.partial(jax.jit, static_argnames=("k", "grid_bits"))
 def transfer_colors(
     src_pos: jax.Array,   # (Ns, 3) int32 padded
     src_col: jax.Array,   # (Ns, 3) int32 RGB
@@ -58,25 +57,30 @@ def transfer_colors(
     PCCPointSet.h:306, and the lossless-attribute requirement).  Computed
     host-side by `exact_matches` — NOTE: jax int64 is disabled by default,
     so packed-coordinate keys cannot be built reliably on device."""
-    exact_src = exact_idx
-    has_exact = has_exact[:, None]
-
+    # KNN sweeps run OUTSIDE jit (they chunk with a python loop; embedding
+    # them in a trace would unroll the chunk bodies into one huge program)
     grid_s = neighbors.build_grid(src_pos, grid_bits)
     idx, d2 = neighbors.knn(grid_s, src_pos, tgt_pos, k=k, bucket=8)
-    valid = d2 < neighbors.MAX_DIST2
+    grid_t = neighbors.build_grid(tgt_pos, grid_bits)
+    tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=8)
+    return _blend(src_pos, src_col, src_count, tgt_pos, exact_idx, has_exact,
+                  idx, d2, tidx, td2)
 
+
+@jax.jit
+def _blend(src_pos, src_col, src_count, tgt_pos, exact_idx, has_exact,
+           idx, d2, tidx, td2):
+    has_exact = has_exact[:, None]
+    valid = d2 < neighbors.MAX_DIST2
     d2f = d2.astype(jnp.float32)
     w = valid.astype(jnp.float32) / jnp.maximum(d2f, 1e-8)
     wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-8)
     cols = src_col[idx].astype(jnp.float32)  # (Nt, k, 3)
     out = jnp.sum(cols * w[..., None], axis=1) / wsum
-    out = jnp.where(has_exact, src_col[exact_src].astype(jnp.float32), out)
+    out = jnp.where(has_exact, src_col[exact_idx].astype(jnp.float32), out)
 
     # backward splat: every source point pushes its color to its nearest
-    # target; blend 50/50 where forward and backward disagree strongly is
-    # deferred — v0 averages backward contributions into the forward result.
-    grid_t = neighbors.build_grid(tgt_pos, grid_bits)
-    tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=8)
+    # target (reference bwd pass of transferColors)
     svalid = (td2 < neighbors.MAX_DIST2) & (
         jnp.arange(src_pos.shape[0]) < src_count
     )

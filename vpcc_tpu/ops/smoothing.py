@@ -129,3 +129,58 @@ def smooth_point_cloud_grid(
     move = eligible & (dist2 >= jnp.maximum(threshold, cnt) * 2.0)
     target = jnp.floor(centroid4 + 0.5).astype(jnp.int32)
     return jnp.where(move[:, None], target, p)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "grid_bits"))
+def color_smoothing_grid(
+    points: jax.Array,     # (M, 3) int32
+    colors: jax.Array,     # (M, 3) int32 RGB
+    valid: jax.Array,      # (M,) bool
+    patch_idx: jax.Array,  # (M,) int32
+    boundary: jax.Array,   # (M,) bool
+    threshold: float,          # thresholdColorSmoothing (luma distance)
+    variation_limit: float,    # thresholdColorVariation
+    grid_size: int = 4,
+    grid_bits: int = 10,
+) -> jax.Array:
+    """Grid color smoothing (reference: PCCCodec::colorSmoothing,
+    PCCCodec.cpp:151 with cgridSize cells): boundary points in multi-patch
+    cells take the cell's mean color when the cell's luma variation is low
+    (a real texture edge is left alone) and the point's luma deviation
+    exceeds the threshold."""
+    gw = (1 << grid_bits) // grid_size
+    n_cells = gw * gw * gw + 1
+    cell = jnp.clip(points // grid_size, 0, gw - 1)
+    cid = (cell[:, 2] * gw + cell[:, 1]) * gw + cell[:, 0]
+    cid = jnp.where(valid, cid, n_cells - 1)
+
+    cf = colors.astype(jnp.float32)
+    luma = 0.2126 * cf[:, 0] + 0.7152 * cf[:, 1] + 0.0722 * cf[:, 2]
+    w = valid.astype(jnp.float32)
+    count = jnp.zeros((n_cells,), jnp.float32).at[cid].add(w)
+    csum = jnp.zeros((n_cells, 3), jnp.float32).at[cid].add(cf * w[:, None])
+    lsum = jnp.zeros((n_cells,), jnp.float32).at[cid].add(luma * w)
+    l2sum = jnp.zeros((n_cells,), jnp.float32).at[cid].add(luma * luma * w)
+    pmin = jnp.full((n_cells,), 1 << 30, jnp.int32).at[cid].min(
+        jnp.where(valid, patch_idx, 1 << 30))
+    pmax = jnp.full((n_cells,), -1, jnp.int32).at[cid].max(
+        jnp.where(valid, patch_idx, -1))
+
+    cnt = jnp.maximum(count, 1.0)
+    mean_c = csum / cnt[:, None]
+    mean_l = lsum / cnt
+    var_l = jnp.maximum(l2sum / cnt - mean_l * mean_l, 0.0)
+    multi = (count > 0) & (pmin != pmax)
+
+    my_cnt = count[cid]
+    my_mean = mean_c[cid]
+    my_meanl = mean_l[cid]
+    my_var = var_l[cid]
+    dev = jnp.abs(luma - my_meanl)
+    smooth = (
+        valid & boundary & multi[cid] & (my_cnt > 1)
+        & (my_var < variation_limit * variation_limit)
+        & (dev < threshold)
+    )
+    out = jnp.where(smooth[:, None], jnp.round(my_mean), cf)
+    return jnp.clip(out, 0, 255).astype(jnp.int32)

@@ -28,7 +28,8 @@ def reconstruct_frame_points(
     cfg: VPCCConfig,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Returns compacted (positions (M,3) i32, pixel_xy (M,2), layer (M,),
-    patch_of (M,)) — after grid geometry smoothing when enabled."""
+    patch_of (M,), boundary (M,)) — after grid geometry smoothing when
+    enabled."""
     pts, valid, pixel_xy, pid = reconstruct.generate_point_cloud(
         jnp.asarray(occ_rec),
         jnp.asarray(geo_dec[0].astype(np.int32)),
@@ -71,4 +72,25 @@ def reconstruct_frame_points(
         )
         pos = np.asarray(sm)[: len(pos)]
 
-    return pos, pix_s, lay_s, pid_s
+    return pos, pix_s, lay_s, pid_s, bnd_s
+
+
+def apply_color_smoothing(pos, col, pid, bnd, cfg: VPCCConfig):
+    """Grid color smoothing on the reconstructed cloud (both sides)."""
+    from vpcc_tpu.ops import smoothing as sm
+
+    if not (cfg.flagColorSmoothing and len(pos)):
+        return col
+    cap = shape_bucket(len(pos))
+    pp = np.zeros((cap, 3), np.int32); pp[: len(pos)] = pos
+    cc = np.zeros((cap, 3), np.int32); cc[: len(pos)] = col
+    vv = np.zeros(cap, bool); vv[: len(pos)] = True
+    pi = np.zeros(cap, np.int32); pi[: len(pos)] = pid
+    bb = np.zeros(cap, bool); bb[: len(pos)] = bnd
+    out = sm.color_smoothing_grid(
+        jnp.asarray(pp), jnp.asarray(cc), jnp.asarray(vv), jnp.asarray(pi),
+        jnp.asarray(bb), float(cfg.thresholdColorSmoothing),
+        float(cfg.thresholdColorVariation),
+        grid_size=cfg.cgridSize, grid_bits=cfg.geometryBitDepth3D,
+    )
+    return np.asarray(out)[: len(pos)].astype(np.uint8)
