@@ -105,3 +105,41 @@ def test_refine_segmentation_smooths_outliers():
     )
     part = np.asarray(part)
     assert (part == 2).mean() > 0.95
+
+
+def test_device_cc_matches_host_cc():
+    """cc_labels_device groups points identically to the host scipy CC
+    (same component sets; labels differ by representative choice)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vpcc_tpu.ops import cc as cc_mod
+    from vpcc_tpu.ops import neighbors
+    from vpcc_tpu.core.pointcloud import from_host
+    from vpcc_tpu.utils.synthetic import make_sphere_cloud
+
+    pc_h = make_sphere_cloud(bits=6, n_samples=3000, seed=3)
+    pc = from_host(pc_h, capacity=4096)
+    n = pc_h.point_count
+    grid = neighbors.build_grid(pc.positions, 6)
+    nn_idx, nn_d2 = neighbors.knn(grid, pc.positions, pc.positions, k=8, bucket=16)
+    valid_rows = pc.valid_mask()
+    nn_valid = (nn_d2 < neighbors.MAX_DIST2) & valid_rows[:, None]
+    rng = np.random.RandomState(0)
+    part_h = rng.randint(0, 3, size=pc.positions.shape[0]).astype(np.int32)
+    active_h = rng.rand(pc.positions.shape[0]) < 0.9
+    active_h[n:] = False
+
+    labels = np.asarray(
+        cc_mod.cc_labels_device(nn_idx, nn_valid, jnp.asarray(part_h), jnp.asarray(active_h))
+    )[:n]
+    seeds = np.ones(n, bool)
+    comps_dev = cc_mod.components_from_labels(labels, seeds, 5)
+
+    comps_host = cc_mod.connected_components(
+        np.asarray(nn_idx)[:n], np.asarray(nn_valid)[:n], part_h[:n],
+        active_h[:n], seeds, 5,
+    )
+    assert len(comps_dev) == len(comps_host)
+    set_dev = {frozenset(c.tolist()) for c in comps_dev}
+    set_host = {frozenset(c.tolist()) for c in comps_host}
+    assert set_dev == set_host

@@ -39,7 +39,7 @@ if _jax.config.jax_compilation_cache_dir is None:
         _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")),
     )
     _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from vpcc_tpu.utils.config import VPCCConfig  # noqa: F401

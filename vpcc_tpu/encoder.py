@@ -102,15 +102,14 @@ class Encoder:
         return part, nn_idx, nn_valid, n
 
     @staticmethod
-    def segment_fetch(futures) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def segment_fetch(futures):
+        """Download ONLY the (N,) partition labels; the (N, K) neighbor
+        graph stays on device (it feeds the device CC; at CTC point counts
+        it is ~50 MB and the tunnel moves ~10-40 MB/s)."""
         part, nn_idx, nn_valid, n = futures
-        return (
-            np.asarray(part)[:n],
-            np.asarray(nn_idx)[:n],
-            np.asarray(nn_valid)[:n],
-        )
+        return np.asarray(part)[:n], (part, nn_idx, nn_valid), n
 
-    def segment(self, pc_host: PointCloudData) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def segment(self, pc_host: PointCloudData):
         """Synchronous segmentation (dispatch + fetch)."""
         return self.segment_fetch(self.segment_dispatch(pc_host))
 
@@ -119,12 +118,15 @@ class Encoder:
         self,
         pc_host: PointCloudData,
         partition: np.ndarray,
-        nn_idx: np.ndarray,
-        nn_valid: np.ndarray,
+        dev_graph,
     ) -> List[Patch]:
         """Patch rounds (reference 'while rawPoints' loop,
-        PCCPatchSegmenter.cpp:804-1320)."""
+        PCCPatchSegmenter.cpp:804-1320).  Connected components run ON
+        DEVICE (ops/cc.py cc_labels_device); only the (N,) label vector is
+        downloaded per round."""
         cfg = self.cfg
+        part_dev, nn_idx_dev, nn_valid_dev = dev_graph
+        cap = int(nn_idx_dev.shape[0])
         positions = np.asarray(pc_host.positions, np.int32)
         colors = (
             pc_host.colors
@@ -134,14 +136,15 @@ class Encoder:
         n = positions.shape[0]
         dist2 = np.full(n, np.inf)
         patches: List[Patch] = []
-        graph = cc_mod.SegmentGraph(nn_idx, nn_valid, partition)
         for _round in range(4):
             seeds = dist2 > cfg.maxAllowedDist2RawPointsDetection
             active = dist2 > cfg.maxAllowedDist2RawPointsSelection
             if not seeds.any():
                 break
-            comps = cc_mod.connected_components(
-                graph, nn_valid, partition, active, seeds,
+            act_dev = jnp.asarray(np.pad(active, (0, cap - n)))
+            labels = cc_mod.cc_labels_device(nn_idx_dev, nn_valid_dev, part_dev, act_dev)
+            comps = cc_mod.components_from_labels(
+                np.asarray(labels)[:n], seeds,
                 cfg.minPointCountPerCCPatchSegmentation,
             )
             if not comps:
@@ -194,11 +197,11 @@ class Encoder:
 
         if seg is None:
             seg = self.segment_dispatch(pc_host)
-        partition, nn_idx, nn_valid = self.segment_fetch(seg)
+        partition, dev_graph, _n = self.segment_fetch(seg)
         st.segmentation_s = time.perf_counter() - t0
 
         t = time.perf_counter()
-        patches, cover_dist2 = self.generate_patches(pc_host, partition, nn_idx, nn_valid)
+        patches, cover_dist2 = self.generate_patches(pc_host, partition, dev_graph)
         # raw-points patch: points still uncovered after all rounds are coded
         # verbatim (lossless conditions; reference rawPointsPatch,
         # PCCPatchSegmenter.cpp:1294-1320)
