@@ -110,10 +110,11 @@ class Decoder:
             height, width = occ.shape
             geo = []
             for m in sorted(geo_subs):
-                layer_ref = geo[0].astype(np.uint16) if geo else None
-                geo.append(
-                    geo_decs[m].decode(geo_subs[m].frames[fi], layer_ref=layer_ref).astype(np.int32)
+                layer_ref = (
+                    (np.asarray(geo[0]).astype(np.uint16) if isinstance(geo[0], np.ndarray) else geo[0])
+                    if geo else None
                 )
+                geo.append(geo_decs[m].decode(geo_subs[m].frames[fi], layer_ref=layer_ref))
             attr = []
             for m in sorted(attr_subs):
                 layer_ref = attr[0] if attr else None
@@ -123,14 +124,14 @@ class Decoder:
             )
             cfg.occupancyResolution = vps.occupancy_resolution
             cfg.geometry3dCoordinatesBitdepth = vps.geometry_3d_bitdepth
-            pos, pix_s, lay_s, pid_s, bnd_s = pipeline.reconstruct_frame_points(
-                occ, geo, btp, patches, cfg
+            recon = pipeline.reconstruct_frame_device(occ, geo, btp, patches, cfg)
+            a0 = jnp.asarray(attr[0])
+            a1 = jnp.asarray(attr[1]) if len(attr) > 1 else a0
+            col_d = pipeline.gather_decoded_colors(recon.pix, recon.layer, a0, a1)
+            col_d = pipeline.apply_color_smoothing_device(recon, col_d, cfg)
+            pos, col = pipeline.download_recon(
+                recon, col_d, vps.geometry_3d_bitdepth
             )
-            col = attr[0][pix_s[:, 1], pix_s[:, 0]]
-            if len(attr) > 1:
-                m1 = lay_s == 1
-                col[m1] = attr[1][pix_s[m1, 1], pix_s[m1, 0]]
-            col = pipeline.apply_color_smoothing(pos, col, pid_s, bnd_s, cfg)
             tile = tiles[fi]
             if tile.raw_positions is not None:
                 pos = np.concatenate([pos, tile.raw_positions], 0)

@@ -165,8 +165,8 @@ class Encoder:
             # running minimum), so later rounds query just the raw subset.
             res_pts = [pp for p in new_patches for pp in p.generate_points()[:2]]
             res_pts = np.concatenate([r for r in res_pts if len(r)], axis=0)
-            cap = shape_bucket(len(res_pts))
-            rp = np.full((cap, 3), PAD_COORD, np.int32)
+            rcap = shape_bucket(len(res_pts))
+            rp = np.full((rcap, 3), PAD_COORD, np.int32)
             rp[: len(res_pts)] = res_pts
             rp_dev = jnp.asarray(rp)
             grid_r = neighbors.build_grid(rp_dev, cfg.geometryBitDepth3D)
@@ -248,60 +248,59 @@ class Encoder:
 
         # --- reconstruction + geometry smoothing (device), shared with decoder
         t = time.perf_counter()
-        rec_pos, rec_pix, rec_layer, rec_pid, rec_bnd = pipeline.reconstruct_frame_points(
-            occ_rec, geo_dec, btp, patches, cfg
-        )
+        recon = pipeline.reconstruct_frame_device(occ_rec, geo_dec, btp, patches, cfg)
         st.reconstruct_s = time.perf_counter() - t
 
-        # --- recolor (device KNN against source)
+        # --- recolor (device KNN against source; the reconstructed cloud
+        # never leaves the device)
         t = time.perf_counter()
+        bits = cfg.geometryBitDepth3D
         src_cap = shape_bucket(pc_host.point_count)
         sp = np.full((src_cap, 3), PAD_COORD, np.int32)
         sp[: pc_host.point_count] = pc_host.positions.astype(np.int32)
         sc = np.zeros((src_cap, 3), np.int32)
         if pc_host.colors is not None:
             sc[: pc_host.point_count] = pc_host.colors
-        rec_cap = shape_bucket(len(rec_pos))
-        tp = np.full((rec_cap, 3), PAD_COORD, np.int32)
-        tp[: len(rec_pos)] = rec_pos
-        exact_idx, has_exact = recolor.exact_matches(
-            sp, tp, pc_host.point_count, cfg.geometryBitDepth3D
-        )
+        sp_dev = jnp.asarray(sp)
+        sc_dev = jnp.asarray(sc)
+        src_valid = jnp.arange(src_cap) < pc_host.point_count
+        if bits <= 10:
+            exact_idx, has_exact = recolor.exact_matches_device(
+                sp_dev, src_valid, recon.pos, bits
+            )
+        else:
+            ei, he = recolor.exact_matches(
+                sp, np.asarray(recon.pos), pc_host.point_count, bits
+            )
+            exact_idx, has_exact = jnp.asarray(ei), jnp.asarray(he)
         rec_col = recolor.transfer_colors(
-            jnp.asarray(sp), jnp.asarray(sc), jnp.asarray(pc_host.point_count),
-            jnp.asarray(tp), jnp.asarray(len(rec_pos)),
-            jnp.asarray(exact_idx), jnp.asarray(has_exact),
-            grid_bits=cfg.geometryBitDepth3D,
+            sp_dev, sc_dev, jnp.asarray(pc_host.point_count),
+            recon.pos, jnp.asarray(recon.count),
+            exact_idx, has_exact,
+            grid_bits=bits,
             k=cfg.numNeighborsColorTransferFwd,
         )
-        rec_col = np.asarray(rec_col)[: len(rec_pos)].astype(np.uint8)
 
-        # --- attribute videos: paint per-pixel per-layer
-        attr = np.zeros((2, height, width, 3), np.uint8)
-        for ly in (0, 1):
-            m = rec_layer == ly
-            attr[ly, rec_pix[m, 1], rec_pix[m, 0]] = rec_col[m]
-        # layer 1 pixels with no distinct point reuse layer 0 color
-        only0 = np.ones((height, width), bool)
-        m1 = rec_layer == 1
-        only0[rec_pix[m1, 1], rec_pix[m1, 0]] = False
-        attr[1][only0] = attr[0][only0]
-        # push-pull fill happens fused on device inside the codec
+        # --- attribute videos: paint per-pixel per-layer (device scatter)
+        img0, img1 = pipeline.paint_attribute(
+            recon.pix, recon.layer, recon.valid, rec_col, height, width
+        )
         attr_payloads = []
         attr_dec = []
-        for ly in (0, 1):
+        occ_dev = jnp.asarray(frame.occupancy)
+        for ly, img in ((0, img0), (1, img1)):
             payload, dec = streams[f"attr{ly}"].encode(
-                attr[ly], occ=frame.occupancy,
+                img, occ=occ_dev,
                 layer_ref=attr_dec[0] if attr_dec else None,
             )
             attr_payloads.append(payload)
             attr_dec.append(dec)
         # encoder-side recon colors = decoded attribute at each point's pixel
-        rec_col_dec = attr_dec[0][rec_pix[:, 1], rec_pix[:, 0]]
-        m1 = rec_layer == 1
-        rec_col_dec[m1] = attr_dec[1][rec_pix[m1, 1], rec_pix[m1, 0]]
-        rec_col_dec = pipeline.apply_color_smoothing(
-            rec_pos, rec_col_dec, rec_pid, rec_bnd, cfg)
+        col_dec = pipeline.gather_decoded_colors(
+            recon.pix, recon.layer, jnp.asarray(attr_dec[0]), jnp.asarray(attr_dec[1])
+        )
+        col_dec = pipeline.apply_color_smoothing_device(recon, col_dec, cfg)
+        rec_pos, rec_col_dec = pipeline.download_recon(recon, col_dec, bits)
         st.video_s += time.perf_counter() - t
 
         if raw_positions is not None:

@@ -58,23 +58,31 @@ def cc_labels_device(
     tgt = jnp.where(edge_ok, nn_idx, idx[:, None])
     lab0 = jnp.where(active, idx, sentinel)
 
-    n_jump = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    n_jump = 10
 
-    def step(state):
-        lab, _ = state
-        fwd = jnp.min(jnp.where(edge_ok, lab[tgt], sentinel), axis=1)
-        new = jnp.minimum(lab, fwd)
-        # reverse edges: push my label onto my neighbors (scatter-min)
-        new = new.at[tgt.reshape(-1)].min(
-            jnp.broadcast_to(lab[:, None], tgt.shape).reshape(-1)
-        )
-        new = jnp.where(active, new, sentinel)
-
+    def compress(l):
         def jump(_, l):
             l2 = l[jnp.minimum(l, n - 1)]
             return jnp.where(l >= sentinel, l, jnp.minimum(l, l2))
 
-        new = jax.lax.fori_loop(0, n_jump, jump, new)
+        return jax.lax.fori_loop(0, n_jump, jump, l)
+
+    def step(state):
+        lab, _ = state
+        # Shiloach-Vishkin-style hooking: every min discovered is pushed
+        # onto the ROOTS (my root + my neighbors' roots), so the following
+        # compression spreads it to whole trees in one round — plain
+        # label propagation needs O(diameter) rounds on surface graphs.
+        # All updates are scatter-MIN, so unconditional hooks stay correct.
+        nb = lab[tgt]                                     # (N, K)
+        m = jnp.minimum(lab, jnp.min(jnp.where(edge_ok, nb, sentinel), axis=1))
+        safe = jnp.minimum(lab, n - 1)
+        new = m.at[safe].min(jnp.where(active, m, sentinel))  # hook my root
+        flat_roots = jnp.minimum(nb, n - 1).reshape(-1)       # neighbors' roots
+        push = jnp.where(edge_ok, m[:, None], sentinel).reshape(-1)
+        new = new.at[flat_roots].min(push)
+        new = jnp.where(active, new, sentinel)
+        new = compress(new)
         return new, jnp.any(new != lab)
 
     def cond(state):

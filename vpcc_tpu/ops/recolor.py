@@ -39,6 +39,34 @@ def exact_matches(src_pos, tgt_pos, n_src: int, bits: int):
     return idx, has
 
 
+@functools.partial(jax.jit, static_argnames=("bits",))
+def exact_matches_device(src_pos, src_valid, tgt_pos, bits: int):
+    """Device exact position matching for grids up to 10 bits (3*10-bit
+    packed keys fit int32): returns (exact_idx (Nt,) int32, has_exact (Nt,)
+    bool).  Replaces the host `exact_matches` on the hot path so target
+    positions never leave the device."""
+    assert bits <= 10
+    big = jnp.int32(0x7FFFFFFF)
+    ks = jnp.where(
+        src_valid,
+        (src_pos[:, 0] << (2 * bits)) | (src_pos[:, 1] << bits) | src_pos[:, 2],
+        big,
+    )
+    sorder = jnp.argsort(ks).astype(jnp.int32)
+    sk = ks[sorder]
+    in_grid = jnp.all((tgt_pos >= 0) & (tgt_pos < (1 << bits)), axis=1)
+    kt = jnp.where(
+        in_grid,
+        (tgt_pos[:, 0] << (2 * bits)) | (tgt_pos[:, 1] << bits) | tgt_pos[:, 2],
+        -1,
+    )
+    loc = jnp.clip(
+        jnp.searchsorted(sk, kt).astype(jnp.int32), 0, sk.shape[0] - 1
+    )
+    has = (sk[loc] == kt) & (kt >= 0)
+    return sorder[loc], has
+
+
 def transfer_colors(
     src_pos: jax.Array,   # (Ns, 3) int32 padded
     src_col: jax.Array,   # (Ns, 3) int32 RGB

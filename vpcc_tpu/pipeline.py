@@ -4,12 +4,25 @@ The reference factors reconstruction into `PCCCodec` precisely because the
 encoder must reproduce the decoder's output bit-exactly
 (reference: source/lib/PccLibCommon/source/PCCCodec.cpp:519 generatePointCloud,
 :1067 smoothPointCloudGrid); this module is our equivalent seam.
+
+TPU-first structure: reconstruction runs in two device programs —
+phase 1 generates per-pixel candidate points and a valid count (only the
+scalar count is downloaded), phase 2 (specialized on a shape bucket chosen
+from that count) compacts the valid points to the front, applies grid
+geometry smoothing, and returns DEVICE-resident arrays.  Recolor, attribute
+painting and color smoothing all consume these device handles; the only
+host download of the whole reconstruction is the final packed positions +
+colors (the tunnel to the host moves ~10-40 MB/s, so per-pixel intermediates
+— ~65 MB/frame at CTC sizes — must never leave the device).
 """
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,63 +33,183 @@ from vpcc_tpu.ops import reconstruct, smoothing
 from vpcc_tpu.utils.config import VPCCConfig
 
 
-def reconstruct_frame_points(
-    occ_rec: np.ndarray,       # (H, W) uint8 decoded+expanded occupancy
-    geo_dec: List[np.ndarray],  # decoded geometry maps (>=1)
-    btp: np.ndarray,           # block-to-patch
+@dataclasses.dataclass
+class DeviceRecon:
+    """Device-resident reconstructed frame (first `count` rows are real)."""
+
+    pos: jax.Array     # (B, 3) int32 positions (smoothed when enabled)
+    valid: jax.Array   # (B,) bool
+    pix: jax.Array     # (B, 2) int32 atlas (x, y)
+    layer: jax.Array   # (B,) int32 0/1
+    pid: jax.Array     # (B,) int32 patch index
+    bnd: jax.Array     # (B,) bool patch-boundary flag
+    count: int
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def _recon_phase1(occ, geo0, geo1, btp, ptable, res: int):
+    pts, valid, pix, pid = reconstruct.generate_point_cloud(
+        occ, geo0, geo1, btp, ptable, res
+    )
+    bnd = smoothing.boundary_pixels(occ, btp)
+    return pts, valid, pix, pid, bnd, valid.sum()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bucket", "do_smooth", "grid_size", "grid_bits")
+)
+def _recon_phase2(
+    pts, valid, pix, pid, bnd_img, thr,
+    bucket: int, do_smooth: bool, grid_size: int, grid_bits: int,
+):
+    hw2 = pts.shape[0] * 2
+    pos_f = pts.reshape(hw2, 3)
+    v = valid.reshape(hw2)
+    pixr = jnp.repeat(pix, 2, axis=0)
+    pidr = jnp.repeat(pid, 2, axis=0)
+    bndr = jnp.repeat(bnd_img.reshape(-1), 2, axis=0)
+    layer = jnp.tile(jnp.asarray([0, 1], jnp.int32), hw2 // 2)
+
+    order = jnp.argsort(jnp.logical_not(v), stable=True)  # valid first
+    sel = order[:bucket]
+    pos = pos_f[sel]
+    vv = v[sel]
+    pixc = pixr[sel]
+    pidc = pidr[sel]
+    bndc = bndr[sel]
+    layc = layer[sel]
+    pos = jnp.where(vv[:, None], pos, PAD_COORD)
+    if do_smooth:
+        sm = smoothing.smooth_point_cloud_grid(
+            jnp.where(vv[:, None], pos, 0), vv, pidc, bndc, thr,
+            grid_size=grid_size, grid_bits=grid_bits,
+        )
+        pos = jnp.where(vv[:, None], sm, PAD_COORD)
+    return pos, vv, pixc, layc, pidc, bndc
+
+
+def reconstruct_frame_device(
+    occ_rec,                 # (H, W) uint8 decoded+expanded occupancy (host or device)
+    geo_dec: List,           # decoded geometry maps (host or device)
+    btp,                     # block-to-patch (host)
     patches: List[Patch],
     cfg: VPCCConfig,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Returns compacted (positions (M,3) i32, pixel_xy (M,2), layer (M,),
-    patch_of (M,), boundary (M,)) — after grid geometry smoothing when
-    enabled."""
-    pts, valid, pixel_xy, pid = reconstruct.generate_point_cloud(
-        jnp.asarray(occ_rec),
-        jnp.asarray(geo_dec[0].astype(np.int32)),
-        jnp.asarray((geo_dec[1] if len(geo_dec) > 1 else geo_dec[0]).astype(np.int32)),
-        jnp.asarray(btp),
+) -> DeviceRecon:
+    """generatePointCloud + grid smoothing, all on device."""
+    occ_d = jnp.asarray(occ_rec)
+    g0 = jnp.asarray(geo_dec[0]).astype(jnp.int32)
+    g1 = jnp.asarray(geo_dec[1] if len(geo_dec) > 1 else geo_dec[0]).astype(jnp.int32)
+    outs = _recon_phase1(
+        occ_d, g0, g1, jnp.asarray(btp),
         jnp.asarray(atlas_mod.patch_table(patches)),
         cfg.occupancyResolution,
     )
-    boundary_img = smoothing.boundary_pixels(jnp.asarray(occ_rec), jnp.asarray(btp))
+    pts, valid, pix, pid, bnd, cnt = outs
+    count = int(cnt)  # the only phase-1 download: one scalar
+    bucket = shape_bucket(max(count, 1))
+    do_smooth = bool(cfg.flagGeometrySmoothing and cfg.gridSmoothing and count)
+    pos, vv, pixc, layc, pidc, bndc = _recon_phase2(
+        pts, valid, pix, pid, bnd,
+        jnp.float32(cfg.thresholdSmoothing),
+        bucket, do_smooth, cfg.gridSize, cfg.geometryBitDepth3D,
+    )
+    return DeviceRecon(pos=pos, valid=vv, pix=pixc, layer=layc, pid=pidc,
+                       bnd=bndc, count=count)
 
-    pts_h = np.asarray(pts).reshape(-1, 3)
-    valid_h = np.asarray(valid).reshape(-1)
-    pix = np.repeat(np.asarray(pixel_xy), 2, axis=0)
-    pid_h = np.repeat(np.asarray(pid), 2, axis=0)
-    bnd_h = np.repeat(np.asarray(boundary_img).reshape(-1), 2, axis=0)
-    layer = np.tile(np.array([0, 1], np.int32), len(valid_h) // 2)
 
-    sel = np.nonzero(valid_h)[0]
-    pos = pts_h[sel]
-    pix_s = pix[sel]
-    lay_s = layer[sel]
-    pid_s = pid_h[sel]
-    bnd_s = bnd_h[sel]
+def reconstruct_frame_points(
+    occ_rec: np.ndarray,
+    geo_dec: List[np.ndarray],
+    btp: np.ndarray,
+    patches: List[Patch],
+    cfg: VPCCConfig,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host-facing wrapper: returns compacted numpy (positions (M,3) i32,
+    pixel_xy (M,2), layer (M,), patch_of (M,), boundary (M,))."""
+    r = reconstruct_frame_device(occ_rec, geo_dec, btp, patches, cfg)
+    n = r.count
+    return (
+        np.asarray(r.pos)[:n],
+        np.asarray(r.pix)[:n],
+        np.asarray(r.layer)[:n],
+        np.asarray(r.pid)[:n],
+        np.asarray(r.bnd)[:n],
+    )
 
-    if cfg.flagGeometrySmoothing and cfg.gridSmoothing and len(pos):
-        cap = shape_bucket(len(pos))
-        pp = np.full((cap, 3), 0, np.int32)
-        pp[: len(pos)] = pos
-        vv = np.zeros(cap, bool)
-        vv[: len(pos)] = True
-        pi = np.zeros(cap, np.int32)
-        pi[: len(pos)] = pid_s
-        bb = np.zeros(cap, bool)
-        bb[: len(pos)] = bnd_s
-        sm = smoothing.smooth_point_cloud_grid(
-            jnp.asarray(pp), jnp.asarray(vv), jnp.asarray(pi), jnp.asarray(bb),
-            float(cfg.thresholdSmoothing),
-            grid_size=cfg.gridSize,
-            grid_bits=cfg.geometryBitDepth3D,
-        )
-        pos = np.asarray(sm)[: len(pos)]
 
-    return pos, pix_s, lay_s, pid_s, bnd_s
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def paint_attribute(pix, layer, valid, col, h: int, w: int):
+    """Scatter per-point colors into the two attribute layer images
+    (device).  Layer-1 pixels with no distinct point reuse layer 0."""
+    x = pix[:, 0]
+    y = pix[:, 1]
+    c8 = jnp.clip(col, 0, 255).astype(jnp.uint8)
+    m0 = valid & (layer == 0)
+    m1 = valid & (layer == 1)
+    y0 = jnp.where(m0, y, h)  # out-of-bounds -> dropped
+    y1 = jnp.where(m1, y, h)
+    img0 = jnp.zeros((h, w, 3), jnp.uint8).at[y0, x].set(c8, mode="drop")
+    img1 = jnp.zeros((h, w, 3), jnp.uint8).at[y1, x].set(c8, mode="drop")
+    painted1 = jnp.zeros((h, w), jnp.bool_).at[y1, x].set(True, mode="drop")
+    img1 = jnp.where(painted1[..., None], img1, img0)
+    return img0, img1
+
+
+@functools.partial(jax.jit, static_argnames=())
+def gather_decoded_colors(pix, layer, attr0, attr1):
+    """Per-point decoded colors = decoded attribute at each point's pixel
+    (device gather; both layer images are device uint8)."""
+    x = pix[:, 0]
+    y = pix[:, 1]
+    c0 = attr0[y, x].astype(jnp.int32)
+    c1 = attr1[y, x].astype(jnp.int32)
+    return jnp.where((layer == 1)[:, None], c1, c0)
+
+
+def apply_color_smoothing_device(recon: DeviceRecon, col, cfg: VPCCConfig):
+    """Grid color smoothing on device arrays; returns (B, 3) int32."""
+    from vpcc_tpu.ops import smoothing as sm
+
+    if not (cfg.flagColorSmoothing and recon.count):
+        return col
+    return sm.color_smoothing_grid(
+        jnp.where(recon.valid[:, None], recon.pos, 0), col, recon.valid,
+        recon.pid, recon.bnd,
+        float(cfg.thresholdColorSmoothing), float(cfg.thresholdColorVariation),
+        grid_size=cfg.cgridSize, grid_bits=cfg.geometryBitDepth3D,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _pack_positions(pos, bits: int):
+    return (pos[:, 0] << (2 * bits)) | (pos[:, 1] << bits) | pos[:, 2]
+
+
+def download_recon(recon: DeviceRecon, col, bits: int):
+    """Download the final reconstruction: positions packed to one int32
+    per point when they fit (grids <= 10 bits), colors as uint8 —
+    ~7 bytes/point over the slow device->host link.  Returns numpy
+    (pos (n,3) int32, col (n,3) uint8)."""
+    n = recon.count
+    col8 = jnp.clip(col, 0, 255).astype(jnp.uint8)
+    if bits <= 10:
+        w = _pack_positions(recon.pos, bits)
+        w.copy_to_host_async()
+        col8.copy_to_host_async()
+        wh = np.asarray(w)[:n].astype(np.int64)
+        mask = (1 << bits) - 1
+        pos = np.stack(
+            [(wh >> (2 * bits)) & mask, (wh >> bits) & mask, wh & mask], 1
+        ).astype(np.int32)
+    else:
+        recon.pos.copy_to_host_async()
+        col8.copy_to_host_async()
+        pos = np.asarray(recon.pos)[:n]
+    return pos, np.asarray(col8)[:n]
 
 
 def apply_color_smoothing(pos, col, pid, bnd, cfg: VPCCConfig):
-    """Grid color smoothing on the reconstructed cloud (both sides)."""
+    """Host-facing color smoothing (numpy in/out), kept for the tools."""
     from vpcc_tpu.ops import smoothing as sm
 
     if not (cfg.flagColorSmoothing and len(pos)):

@@ -82,7 +82,8 @@ class GeometrySubstreamEncoder:
             geo, qp=cfg.geometryQP, occ=occ, ref=ref
         )
         self.ref = dec_f
-        out = np.clip(np.round(dec_f), 0, (1 << cfg.geometryBitDepth2D) - 1).astype(np.uint16)
+        # decoded plane stays ON DEVICE (feeds device reconstruction)
+        out = intra.quantize_plane(dec_f, cfg.geometryBitDepth2D)
         return bytes([v3c.CODEC_TPU_INTRA]) + payload, out
 
 
@@ -102,7 +103,7 @@ class GeometrySubstreamDecoder:
             return ((delta.astype(np.int32) + layer_ref.astype(np.int32)) % 65536).astype(np.uint16)
         dec_f = intra.decode_plane_stream(payload[1:], ref=self.ref)
         self.ref = dec_f
-        return np.clip(np.round(dec_f), 0, (1 << self.cfg.geometryBitDepth2D) - 1).astype(np.uint16)
+        return intra.quantize_plane(dec_f, self.cfg.geometryBitDepth2D)
 
 
 class AttributeSubstreamEncoder:

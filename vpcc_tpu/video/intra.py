@@ -36,21 +36,26 @@ AVAILABLE = True
 @functools.partial(jax.jit, static_argnames=("qp", "inter"))
 def _fill_forward(plane: jax.Array, occ, ref, qp: int, inter: bool) -> jax.Array:
     """Fused device pass: push-pull background fill -> (optional temporal
-    prediction) -> DCT -> quant -> DC-DPCM.  One dispatch, one
-    (nblocks, 64) int32 download."""
+    prediction) -> DCT -> quant -> DC-DPCM.  One dispatch; the coeffs are
+    saturated to int16 on device so the host download is half-size (the
+    device->host tunnel is the pipeline bottleneck; saturation happens
+    BEFORE entropy coding so encoder and decoder reconstruct from
+    identical values)."""
     x = plane.astype(jnp.float32)
     if occ is not None:
         x = padding.push_pull_fill(x, occ)
     if inter:
         x = x - ref
-    return transform.dc_dpcm(transform.forward(x, qp))
+    c = transform.dc_dpcm(transform.forward(x, qp))
+    return jnp.clip(c, -32768, 32767).astype(jnp.int16)
 
 
-def _encode_plane(plane, qp: int, occ=None, ref=None) -> Tuple[bytes, np.ndarray]:
-    """Returns (payload bytes, decoded plane float32) for one (H, W) plane.
-    H, W must be multiples of 8.  With `occ` given, unoccupied pixels are
-    push-pull filled on device first; with `ref` (previous decoded plane,
-    float32), the frame is coded as a temporal residual (P-frame)."""
+def _encode_plane(plane, qp: int, occ=None, ref=None) -> Tuple[bytes, jax.Array]:
+    """Returns (payload bytes, decoded plane float32 ON DEVICE) for one
+    (H, W) plane.  H, W must be multiples of 8.  With `occ` given,
+    unoccupied pixels are push-pull filled on device first; with `ref`
+    (previous decoded plane, device float32), the frame is coded as a
+    temporal residual (P-frame)."""
     h, w = plane.shape
     inter = ref is not None
     ref_dev = jnp.zeros((h, w), jnp.float32) if ref is None else jnp.asarray(ref, jnp.float32)
@@ -59,24 +64,32 @@ def _encode_plane(plane, qp: int, occ=None, ref=None) -> Tuple[bytes, np.ndarray
         None if occ is None else jnp.asarray(occ),
         ref_dev, qp, inter,
     )
-    coeffs_h = np.asarray(coeffs)
-    payload = entropy.encode_coeffs(coeffs_h)
-    # encoder-side reconstruction (must match decoder bit-exactly)
-    dec = _decode_plane_from_coeffs(coeffs_h, qp, h, w, ref=ref)
+    # encoder-side reconstruction stays on device (must match decoder
+    # bit-exactly; both sides reconstruct from the saturated coeffs)
+    dec = _coeffs_to_plane(coeffs, qp, h, w, inter, ref_dev)
+    coeffs.copy_to_host_async()
+    payload = entropy.encode_coeffs(np.asarray(coeffs).astype(np.int32))
     return payload, dec
 
 
-def _decode_plane_from_coeffs(coeffs: np.ndarray, qp: int, h: int, w: int, ref=None) -> np.ndarray:
-    c = transform.dc_dpcm_inverse(jnp.asarray(coeffs))
+@functools.partial(jax.jit, static_argnames=("qp", "h", "w", "inter"))
+def _coeffs_to_plane(coeffs, qp: int, h: int, w: int, inter: bool, ref) -> jax.Array:
+    c = transform.dc_dpcm_inverse(coeffs.astype(jnp.int32))
     x = transform.inverse(c, qp, h, w)
-    if ref is not None:
-        x = x + jnp.asarray(ref, jnp.float32)
-    return np.asarray(x)
+    if inter:
+        x = x + ref
+    return x
 
 
-def _decode_plane(payload: bytes, qp: int, h: int, w: int, ref=None) -> np.ndarray:
+def _decode_plane_from_coeffs(coeffs, qp: int, h: int, w: int, ref=None) -> jax.Array:
+    inter = ref is not None
+    ref_dev = jnp.zeros((h, w), jnp.float32) if ref is None else jnp.asarray(ref, jnp.float32)
+    return _coeffs_to_plane(jnp.asarray(coeffs), qp, h, w, inter, ref_dev)
+
+
+def _decode_plane(payload: bytes, qp: int, h: int, w: int, ref=None) -> jax.Array:
     nblocks = (h // 8) * (w // 8)
-    coeffs = entropy.decode_coeffs(payload, nblocks)
+    coeffs = entropy.decode_coeffs(payload, nblocks).astype(np.int16)
     return _decode_plane_from_coeffs(coeffs, qp, h, w, ref=ref)
 
 
@@ -152,16 +165,14 @@ def decode_rgb_stream(data: bytes, refs=None):
     return _planes_to_rgb(dy, dcb, dcr), (dy, dcb, dcr)
 
 
-def _planes_to_rgb(y, cb, cr) -> np.ndarray:
+@functools.partial(jax.jit, static_argnames=())
+def _planes_to_rgb(y, cb, cr) -> jax.Array:
+    """Decoded YCbCr planes -> (H, W, 3) uint8 RGB, ON DEVICE."""
     ycc = jnp.stack(
-        [
-            jnp.asarray(y),
-            color.upsample_420(jnp.asarray(cb)),
-            color.upsample_420(jnp.asarray(cr)),
-        ],
+        [y, color.upsample_420(cb), color.upsample_420(cr)],
         axis=-1,
     )
-    return np.asarray(color.ycbcr_to_rgb(ycc))
+    return color.ycbcr_to_rgb(ycc)
 
 
 # ---------------------------------------------------------------------------
@@ -189,16 +200,22 @@ def encode_frame_mono(plane, qp: int, bitdepth: int = 8, occ=None) -> bytes:
     return _pack([(plane.shape, qp, payload)])
 
 
+@functools.partial(jax.jit, static_argnames=("bitdepth",))
+def quantize_plane(dec: jax.Array, bitdepth: int) -> jax.Array:
+    """Decoded float plane -> uint16 sample values (device)."""
+    return jnp.clip(jnp.round(dec), 0, (1 << bitdepth) - 1).astype(jnp.uint16)
+
+
 def decode_frame_mono(data: bytes, bitdepth: int = 8) -> np.ndarray:
     (hw, qp, payload, _flags), = _unpack(data)
     dec = _decode_plane(payload, qp, hw[0], hw[1])
-    return np.clip(np.round(dec), 0, (1 << bitdepth) - 1).astype(np.uint16)
+    return np.asarray(quantize_plane(dec, bitdepth))
 
 
 def reconstruct_frame_mono(plane, qp: int, bitdepth: int = 8, occ=None) -> Tuple[bytes, np.ndarray]:
     """One-pass encode + encoder-side reconstruction (saves a decode)."""
     payload, dec = _encode_plane(plane, qp, occ=occ)
-    rec = np.clip(np.round(dec), 0, (1 << bitdepth) - 1).astype(np.uint16)
+    rec = np.asarray(quantize_plane(dec, bitdepth))
     return _pack([(plane.shape, qp, payload)]), rec
 
 
@@ -229,4 +246,4 @@ def encode_frame_rgb(attr, qp: int, occ=None) -> bytes:
 
 def decode_frame_rgb(data: bytes) -> np.ndarray:
     rgb, _refs = decode_rgb_stream(data)
-    return rgb
+    return np.asarray(rgb)
