@@ -260,4 +260,162 @@ int64_t vpcc_decode_binary_plane(const uint8_t* data, int64_t size,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// HEVC-class block syntax (vpcc_tpu/video/hevc.py): per 8x8 block an intra/
+// inter mode (0..35, MPM-coded from left/up neighbors) plus quantized
+// coefficients in zigzag order (cbf flag w/ neighbor context, 6-bit
+// context-coded last-significant position, banded significance,
+// greater1/greater2 flags, Exp-Golomb remainder, bypass sign).  Mirrors the
+// role of HM's CABAC coefficient coding for our TPU wavefront codec.
+
+namespace {
+
+struct HevcContexts {
+  uint16_t mpm0 = kHalf, mpm1 = kHalf, esc = kHalf;
+  uint16_t cbf[3];
+  uint16_t last_bits[6];
+  uint16_t sig[10];
+  uint16_t gt1[2];
+  uint16_t gt2[2];
+  HevcContexts() {
+    for (int i = 0; i < 3; i++) cbf[i] = kHalf;
+    for (int i = 0; i < 6; i++) last_bits[i] = kHalf;
+    for (int i = 0; i < 10; i++) sig[i] = kHalf;
+    for (int i = 0; i < 2; i++) gt1[i] = gt2[i] = kHalf;
+  }
+};
+
+inline void mpm_candidates(const int32_t* modes, int64_t nbx, int64_t by,
+                           int64_t bx, int& m0, int& m1) {
+  m0 = bx > 0 ? (int)modes[by * nbx + bx - 1] : 0;
+  m1 = by > 0 ? (int)modes[(by - 1) * nbx + bx] : 1;
+  if (m1 == m0) m1 = (m0 == 0) ? 1 : 0;
+}
+
+}  // namespace
+
+int64_t vpcc_hevc_encode(const int32_t* modes, const int32_t* coeffs,
+                         int64_t nby, int64_t nbx, uint8_t* out,
+                         int64_t capacity) {
+  Encoder enc;
+  const int64_t nb = nby * nbx;
+  enc.out.reserve((size_t)nb * 4);
+  HevcContexts ctx;
+  std::vector<uint8_t> cbf_grid((size_t)nb, 0);
+  for (int64_t by = 0; by < nby; by++) {
+    for (int64_t bx = 0; bx < nbx; bx++) {
+      const int64_t bi = by * nbx + bx;
+      // --- mode (MPM from left/up)
+      int m0, m1;
+      mpm_candidates(modes, nbx, by, bx, m0, m1);
+      const int mode = (int)modes[bi];
+      enc.bit(mode == m0, &ctx.mpm0);
+      if (mode != m0) {
+        enc.bit(mode == m1, &ctx.mpm1);
+        if (mode != m1) {
+          int r = mode - (mode > m0) - (mode > m1);  // rank among remaining 34
+          if (r < 32) {
+            enc.bit(0, &ctx.esc);
+            for (int k = 4; k >= 0; k--) enc.bypass((r >> k) & 1);
+          } else {
+            enc.bit(1, &ctx.esc);
+            enc.bypass(r - 32);
+          }
+        }
+      }
+      // --- coefficients
+      const int32_t* c = coeffs + bi * 64;
+      int last = -1;
+      for (int i = 0; i < 64; i++)
+        if (c[i] != 0) last = i;
+      const int left_cbf = bx > 0 ? cbf_grid[bi - 1] : 0;
+      const int up_cbf = by > 0 ? cbf_grid[bi - nbx] : 0;
+      enc.bit(last >= 0, &ctx.cbf[left_cbf + up_cbf]);
+      cbf_grid[bi] = (uint8_t)(last >= 0);
+      if (last < 0) continue;
+      for (int k = 5; k >= 0; k--) enc.bit((last >> k) & 1, &ctx.last_bits[k]);
+      int nsig = 0;
+      for (int i = 0; i <= last; i++) {
+        int s = (c[i] != 0);
+        if (i < last) enc.bit(s, &ctx.sig[band(i)]);
+        if (!s) continue;
+        uint32_t mag = (uint32_t)(c[i] < 0 ? -(int64_t)c[i] : c[i]);
+        const int gctx = (nsig == 0) ? 0 : 1;
+        nsig++;
+        enc.bit(mag > 1, &ctx.gt1[gctx]);
+        if (mag > 1) {
+          enc.bit(mag > 2, &ctx.gt2[gctx]);
+          if (mag > 2) enc.eg0(mag - 3);
+        }
+        enc.bypass(c[i] < 0);
+      }
+    }
+  }
+  enc.flush();
+  if ((int64_t)enc.out.size() > capacity) return -1;
+  std::memcpy(out, enc.out.data(), enc.out.size());
+  return (int64_t)enc.out.size();
+}
+
+int64_t vpcc_hevc_decode(const uint8_t* data, int64_t size, int32_t* modes,
+                         int32_t* coeffs, int64_t nby, int64_t nbx) {
+  Decoder dec;
+  dec.init(data, (size_t)size);
+  const int64_t nb = nby * nbx;
+  HevcContexts ctx;
+  std::vector<uint8_t> cbf_grid((size_t)nb, 0);
+  std::memset(coeffs, 0, (size_t)nb * 64 * sizeof(int32_t));
+  for (int64_t by = 0; by < nby; by++) {
+    for (int64_t bx = 0; bx < nbx; bx++) {
+      const int64_t bi = by * nbx + bx;
+      int m0, m1;
+      mpm_candidates(modes, nbx, by, bx, m0, m1);
+      int mode;
+      if (dec.bit(&ctx.mpm0)) {
+        mode = m0;
+      } else if (dec.bit(&ctx.mpm1)) {
+        mode = m1;
+      } else {
+        int r;
+        if (!dec.bit(&ctx.esc)) {
+          r = 0;
+          for (int k = 0; k < 5; k++) r = (r << 1) | dec.bypass();
+        } else {
+          r = 32 + dec.bypass();
+        }
+        // invert rank among remaining (m0 != m1 guaranteed)
+        const int lo = m0 < m1 ? m0 : m1;
+        const int hi = m0 < m1 ? m1 : m0;
+        mode = r;
+        if (mode >= lo) mode++;
+        if (mode >= hi) mode++;
+      }
+      modes[bi] = mode;
+      const int left_cbf = bx > 0 ? cbf_grid[bi - 1] : 0;
+      const int up_cbf = by > 0 ? cbf_grid[bi - nbx] : 0;
+      const int has = dec.bit(&ctx.cbf[left_cbf + up_cbf]);
+      cbf_grid[bi] = (uint8_t)has;
+      if (!has) continue;
+      int last = 0;
+      for (int k = 5; k >= 0; k--)
+        last |= dec.bit(&ctx.last_bits[k]) << k;
+      int32_t* c = coeffs + bi * 64;
+      int nsig = 0;
+      for (int i = 0; i <= last; i++) {
+        int s = (i == last) ? 1 : dec.bit(&ctx.sig[band(i)]);
+        if (!s) continue;
+        const int gctx = (nsig == 0) ? 0 : 1;
+        nsig++;
+        uint32_t mag = 1;
+        if (dec.bit(&ctx.gt1[gctx])) {
+          mag = 2;
+          if (dec.bit(&ctx.gt2[gctx])) mag = 3 + dec.eg0();
+        }
+        c[i] = dec.bypass() ? -(int32_t)mag : (int32_t)mag;
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

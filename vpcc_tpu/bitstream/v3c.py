@@ -32,9 +32,10 @@ V3C_AVD = 4
 
 # codec ids for the video payloads
 CODEC_LOSSLESS_ZLIB = 0    # host zlib (bring-up / lossless fallback)
-CODEC_TPU_INTRA = 1        # TPU-native intra transform codec
+CODEC_TPU_INTRA = 1        # TPU-native DCT+DC-DPCM codec (legacy, round 1)
 CODEC_TPU_RLE = 2          # binary occupancy RLE+arith
 CODEC_LOSSLESS_DELTA = 3   # zlib of the mod-2^b delta against the layer-0 map
+CODEC_TPU_HEVC = 4         # TPU-native HEVC-class wavefront codec (video/hevc.py)
 
 
 @dataclasses.dataclass

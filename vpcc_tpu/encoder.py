@@ -241,6 +241,7 @@ class Encoder:
             payload, dec = streams[name].encode(
                 g, occ=frame.occupancy,
                 layer_ref=geo_dec[0] if geo_dec else None,
+                weight=occ_rec,  # RDO cares only about point-generating px
             )
             geo_payloads.append(payload)
             geo_dec.append(dec)
@@ -292,6 +293,7 @@ class Encoder:
             payload, dec = streams[f"attr{ly}"].encode(
                 img, occ=occ_dev,
                 layer_ref=attr_dec[0] if attr_dec else None,
+                weight=occ_rec,
             )
             attr_payloads.append(payload)
             attr_dec.append(dec)

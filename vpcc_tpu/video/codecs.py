@@ -55,11 +55,13 @@ class GeometrySubstreamEncoder:
         self.cfg = cfg
         self.ref: Optional[np.ndarray] = None  # previous decoded float plane
 
-    def encode(self, geo: np.ndarray, occ=None, force_intra: bool = False, layer_ref=None):
+    def encode(self, geo: np.ndarray, occ=None, force_intra: bool = False,
+               layer_ref=None, weight=None):
         """Returns (payload, decoded uint16 plane).  `layer_ref` = decoded
         layer-0 map enables inter-layer delta coding (D1 differs from D0 in
         few pixels; reference codes D1 as a delta map when absoluteD1=0,
-        PCCEncoder.cpp:4064 predictGeometryFrame)."""
+        PCCEncoder.cpp:4064 predictGeometryFrame).  `weight` = decoded
+        occupancy mask for point-relevance-weighted RDO."""
         from vpcc_tpu.video import intra
 
         cfg = self.cfg
@@ -75,16 +77,28 @@ class GeometrySubstreamEncoder:
             else:
                 payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(geo)
             return payload, geo
-        ref = None if force_intra else self.ref
-        if ref is not None and ref.shape != geo.shape:
-            ref = None
-        payload, dec_f = intra.encode_plane_stream(
-            geo, qp=cfg.geometryQP, occ=occ, ref=ref
+        import jax.numpy as jnp
+        from vpcc_tpu.video import hevc
+
+        maxval = (1 << cfg.geometryBitDepth2D) - 1
+        ref = None
+        if layer_ref is not None and tuple(layer_ref.shape) == tuple(geo.shape):
+            # inter-layer prediction: D1 from D0 (reference
+            # predictGeometryFrame, PCCEncoder.cpp:4064) beats temporal
+            ref = jnp.asarray(layer_ref).astype(jnp.int32)
+        elif (
+            not force_intra
+            and self.ref is not None
+            and tuple(self.ref.shape) == tuple(geo.shape)
+        ):
+            ref = self.ref
+        payload, rec = hevc.encode_planes(
+            jnp.asarray(geo)[None], [cfg.geometryQP], [maxval],
+            refs=None if ref is None else ref[None],
+            occ=occ, deblock=False, weight=weight,
         )
-        self.ref = dec_f
-        # decoded plane stays ON DEVICE (feeds device reconstruction)
-        out = intra.quantize_plane(dec_f, cfg.geometryBitDepth2D)
-        return bytes([v3c.CODEC_TPU_INTRA]) + payload, out
+        self.ref = rec[0]
+        return bytes([v3c.CODEC_TPU_HEVC]) + payload, rec[0].astype(jnp.uint16)
 
 
 class GeometrySubstreamDecoder:
@@ -100,7 +114,22 @@ class GeometrySubstreamDecoder:
             return lossless.decode_plane(payload[1:])
         if codec == v3c.CODEC_LOSSLESS_DELTA:
             delta = lossless.decode_plane(payload[1:])
-            return ((delta.astype(np.int32) + layer_ref.astype(np.int32)) % 65536).astype(np.uint16)
+            return ((delta.astype(np.int32) + np.asarray(layer_ref).astype(np.int32)) % 65536).astype(np.uint16)
+        if codec == v3c.CODEC_TPU_HEVC:
+            import jax.numpy as jnp
+            from vpcc_tpu.video import hevc
+
+            h, w = struct.unpack("<HH", payload[1:5])
+            ref = None
+            if layer_ref is not None and tuple(layer_ref.shape) == (h, w):
+                ref = jnp.asarray(layer_ref).astype(jnp.int32)
+            elif self.ref is not None and tuple(self.ref.shape) == (h, w):
+                ref = self.ref
+            rec = hevc.decode_planes(
+                payload[1:], refs=None if ref is None else ref[None]
+            )
+            self.ref = rec[0]
+            return rec[0].astype(jnp.uint16)
         dec_f = intra.decode_plane_stream(payload[1:], ref=self.ref)
         self.ref = dec_f
         return intra.quantize_plane(dec_f, self.cfg.geometryBitDepth2D)
@@ -111,7 +140,8 @@ class AttributeSubstreamEncoder:
         self.cfg = cfg
         self.refs = None  # (y, cb, cr) previous decoded float planes
 
-    def encode(self, attr: np.ndarray, occ=None, force_intra: bool = False, layer_ref=None):
+    def encode(self, attr: np.ndarray, occ=None, force_intra: bool = False,
+               layer_ref=None, weight=None):
         """Returns (payload, decoded RGB uint8)."""
         from vpcc_tpu.video import intra
 
@@ -128,14 +158,24 @@ class AttributeSubstreamEncoder:
             else:
                 payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(attr)
             return payload, attr
-        refs = None if force_intra else self.refs
-        if refs is not None and refs[0].shape != attr.shape[:2]:
-            refs = None
-        payload, dec_rgb, new_refs = intra.encode_rgb_stream(
-            attr, qp=cfg.attributeQP, occ=occ, refs=refs
+        from vpcc_tpu.video import hevc
+
+        refs = None
+        if layer_ref is not None and tuple(layer_ref.shape[:2]) == tuple(attr.shape[:2]):
+            # inter-layer: T1 predicted from decoded T0 (reference
+            # predictAttributeFrame, PCCEncoder.cpp:3994)
+            refs = hevc.rgb_refs(layer_ref)
+        elif (
+            not force_intra
+            and self.refs is not None
+            and tuple(self.refs[0].shape[1:]) == tuple(attr.shape[:2])
+        ):
+            refs = self.refs
+        payload, dec_rgb, new_refs = hevc.encode_rgb(
+            attr, qp=cfg.attributeQP, occ=occ, refs=refs, weight=weight
         )
         self.refs = new_refs
-        return bytes([v3c.CODEC_TPU_INTRA]) + payload, dec_rgb
+        return bytes([v3c.CODEC_TPU_HEVC]) + payload, dec_rgb
 
 
 class AttributeSubstreamDecoder:
@@ -151,7 +191,21 @@ class AttributeSubstreamDecoder:
             return lossless.decode_plane(payload[1:])
         if codec == v3c.CODEC_LOSSLESS_DELTA:
             delta = lossless.decode_plane(payload[1:])
-            return ((delta.astype(np.int16) + layer_ref.astype(np.int16)) % 256).astype(np.uint8)
+            return ((delta.astype(np.int16) + np.asarray(layer_ref).astype(np.int16)) % 256).astype(np.uint8)
+        if codec == v3c.CODEC_TPU_HEVC:
+            import struct as _s
+
+            from vpcc_tpu.video import hevc
+
+            h, w = _s.unpack("<HH", payload[9:13])  # luma header after the 8-byte index
+            refs = None
+            if layer_ref is not None and tuple(layer_ref.shape[:2]) == (h, w):
+                refs = hevc.rgb_refs(layer_ref)
+            elif self.refs is not None and tuple(self.refs[0].shape[1:]) == (h, w):
+                refs = self.refs
+            dec_rgb, new_refs = hevc.decode_rgb(payload[1:], refs=refs)
+            self.refs = new_refs
+            return dec_rgb
         dec_rgb, new_refs = intra.decode_rgb_stream(payload[1:], refs=self.refs)
         self.refs = new_refs
         return dec_rgb

@@ -49,6 +49,18 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ]
+        lib.vpcc_hevc_encode.restype = ctypes.c_int64
+        lib.vpcc_hevc_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib.vpcc_hevc_decode.restype = ctypes.c_int64
+        lib.vpcc_hevc_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.vpcc_encode_binary_plane.restype = ctypes.c_int64
         lib.vpcc_encode_binary_plane.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
@@ -90,6 +102,30 @@ def decode_coeffs(data: bytes, nblocks: int) -> np.ndarray:
     out = np.empty((nblocks, 64), np.int32)
     lib.vpcc_decode_coeffs(_u8p(buf), len(buf), _i32p(out), nblocks)
     return out
+
+
+def encode_hevc_plane(modes: np.ndarray, coeffs: np.ndarray) -> bytes:
+    """modes: (nby, nbx) int32 block modes; coeffs: (nb, 64) int32 zigzag
+    levels.  CABAC with MPM mode prediction + neighbor-context cbf."""
+    lib = _load()
+    m = np.ascontiguousarray(modes, np.int32)
+    c = np.ascontiguousarray(coeffs, np.int32)
+    nby, nbx = m.shape
+    cap = max(nby * nbx * 160, 1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.vpcc_hevc_encode(_i32p(m), _i32p(c), nby, nbx, _u8p(out), cap)
+    if n < 0:
+        raise RuntimeError("entropy buffer overflow")
+    return out[:n].tobytes()
+
+
+def decode_hevc_plane(data: bytes, nby: int, nbx: int):
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    modes = np.zeros((nby, nbx), np.int32)
+    coeffs = np.zeros((nby * nbx, 64), np.int32)
+    lib.vpcc_hevc_decode(_u8p(buf), len(buf), _i32p(modes), _i32p(coeffs), nby, nbx)
+    return modes, coeffs
 
 
 def encode_binary_plane(plane: np.ndarray) -> bytes:
