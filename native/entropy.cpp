@@ -261,93 +261,204 @@ int64_t vpcc_decode_binary_plane(const uint8_t* data, int64_t size,
 }
 
 // ---------------------------------------------------------------------------
-// HEVC-class block syntax (vpcc_tpu/video/hevc.py): per 8x8 block an intra/
-// inter mode (0..35, MPM-coded from left/up neighbors) plus quantized
-// coefficients in zigzag order (cbf flag w/ neighbor context, 6-bit
-// context-coded last-significant position, banded significance,
-// greater1/greater2 flags, Exp-Golomb remainder, bypass sign).  Mirrors the
-// role of HM's CABAC coefficient coding for our TPU wavefront codec.
+// HEVC-class CU syntax (vpcc_tpu/video/hevc.py): per 16x16 CU a split flag
+// (neighbor context), then either one 16x16 block or four 8x8 blocks in
+// z-order.  Each block: intra/inter mode (0..35, MPM-coded from the left/up
+// 8-pixel cells) + quantized coefficients in zigzag order (cbf flag w/
+// neighbor context, context-coded last-significant position, banded
+// significance, greater1/greater2 flags, Exp-Golomb remainder, bypass
+// sign).  Mirrors the role of HM's CABAC for our TPU wavefront codec.
 
 namespace {
 
+inline int band16(int i) { return band(i >> 2); }
+
 struct HevcContexts {
+  uint16_t split[3];
   uint16_t mpm0 = kHalf, mpm1 = kHalf, esc = kHalf;
-  uint16_t cbf[3];
-  uint16_t last_bits[6];
-  uint16_t sig[10];
-  uint16_t gt1[2];
-  uint16_t gt2[2];
+  uint16_t cbf8[3], cbf16[3];
+  uint16_t last8[6], last16[8];
+  uint16_t sig8[10], sig16[10];
+  uint16_t gt1[2], gt2[2];
   HevcContexts() {
-    for (int i = 0; i < 3; i++) cbf[i] = kHalf;
-    for (int i = 0; i < 6; i++) last_bits[i] = kHalf;
-    for (int i = 0; i < 10; i++) sig[i] = kHalf;
+    for (int i = 0; i < 3; i++) split[i] = cbf8[i] = cbf16[i] = kHalf;
+    for (int i = 0; i < 6; i++) last8[i] = kHalf;
+    for (int i = 0; i < 8; i++) last16[i] = kHalf;
+    for (int i = 0; i < 10; i++) sig8[i] = sig16[i] = kHalf;
     for (int i = 0; i < 2; i++) gt1[i] = gt2[i] = kHalf;
   }
 };
 
-inline void mpm_candidates(const int32_t* modes, int64_t nbx, int64_t by,
-                           int64_t bx, int& m0, int& m1) {
-  m0 = bx > 0 ? (int)modes[by * nbx + bx - 1] : 0;
-  m1 = by > 0 ? (int)modes[(by - 1) * nbx + bx] : 1;
-  if (m1 == m0) m1 = (m0 == 0) ? 1 : 0;
-}
+// per-8x8-cell state for mode MPM and cbf contexts
+struct CellGrid {
+  std::vector<int32_t> mode;
+  std::vector<uint8_t> cbf;
+  int64_t w;
+  CellGrid(int64_t h, int64_t w_) : mode((size_t)(h * w_), 0),
+                                    cbf((size_t)(h * w_), 0), w(w_) {}
+  void mpm(int64_t cy, int64_t cx, int& m0, int& m1) const {
+    m0 = cx > 0 ? mode[(size_t)(cy * w + cx - 1)] : 0;
+    m1 = cy > 0 ? mode[(size_t)((cy - 1) * w + cx)] : 1;
+    if (m1 == m0) m1 = (m0 == 0) ? 1 : 0;
+  }
+  int cbf_ctx(int64_t cy, int64_t cx) const {
+    int l = cx > 0 ? cbf[(size_t)(cy * w + cx - 1)] : 0;
+    int u = cy > 0 ? cbf[(size_t)((cy - 1) * w + cx)] : 0;
+    return l + u;
+  }
+};
+
+struct BlockCoder {
+  HevcContexts& ctx;
+  CellGrid& grid;
+  BlockCoder(HevcContexts& c, CellGrid& g) : ctx(c), grid(g) {}
+
+  void encode_mode(Encoder& enc, int64_t cy, int64_t cx, int mode) {
+    int m0, m1;
+    grid.mpm(cy, cx, m0, m1);
+    enc.bit(mode == m0, &ctx.mpm0);
+    if (mode != m0) {
+      enc.bit(mode == m1, &ctx.mpm1);
+      if (mode != m1) {
+        int r = mode - (mode > m0) - (mode > m1);
+        if (r < 32) {
+          enc.bit(0, &ctx.esc);
+          for (int k = 4; k >= 0; k--) enc.bypass((r >> k) & 1);
+        } else {
+          enc.bit(1, &ctx.esc);
+          enc.bypass(r - 32);
+        }
+      }
+    }
+  }
+
+  int decode_mode(Decoder& dec, int64_t cy, int64_t cx) {
+    int m0, m1;
+    grid.mpm(cy, cx, m0, m1);
+    if (dec.bit(&ctx.mpm0)) return m0;
+    if (dec.bit(&ctx.mpm1)) return m1;
+    int r;
+    if (!dec.bit(&ctx.esc)) {
+      r = 0;
+      for (int k = 0; k < 5; k++) r = (r << 1) | dec.bypass();
+    } else {
+      r = 32 + dec.bypass();
+    }
+    const int lo = m0 < m1 ? m0 : m1;
+    const int hi = m0 < m1 ? m1 : m0;
+    int mode = r;
+    if (mode >= lo) mode++;
+    if (mode >= hi) mode++;
+    return mode;
+  }
+
+  // size16: selects the 256-coeff syntax; fills cells [cy..cy+span) x [cx..)
+  void encode_block(Encoder& enc, int64_t cy, int64_t cx, int mode,
+                    const int32_t* c, bool size16) {
+    encode_mode(enc, cy, cx, mode);
+    const int ncoef = size16 ? 256 : 64;
+    const int nlast = size16 ? 8 : 6;
+    uint16_t* lastc = size16 ? ctx.last16 : ctx.last8;
+    uint16_t* sigc = size16 ? ctx.sig16 : ctx.sig8;
+    uint16_t* cbfc = size16 ? ctx.cbf16 : ctx.cbf8;
+    int last = -1;
+    for (int i = 0; i < ncoef; i++)
+      if (c[i] != 0) last = i;
+    enc.bit(last >= 0, &cbfc[grid.cbf_ctx(cy, cx)]);
+    const int span = size16 ? 2 : 1;
+    for (int dy = 0; dy < span; dy++)
+      for (int dx = 0; dx < span; dx++) {
+        grid.mode[(size_t)((cy + dy) * grid.w + cx + dx)] = mode;
+        grid.cbf[(size_t)((cy + dy) * grid.w + cx + dx)] = (uint8_t)(last >= 0);
+      }
+    if (last < 0) return;
+    for (int k = nlast - 1; k >= 0; k--) enc.bit((last >> k) & 1, &lastc[k]);
+    int nsig = 0;
+    for (int i = 0; i <= last; i++) {
+      int s = (c[i] != 0);
+      if (i < last) enc.bit(s, &sigc[size16 ? band16(i) : band(i)]);
+      if (!s) continue;
+      uint32_t mag = (uint32_t)(c[i] < 0 ? -(int64_t)c[i] : c[i]);
+      const int gctx = (nsig == 0) ? 0 : 1;
+      nsig++;
+      enc.bit(mag > 1, &ctx.gt1[gctx]);
+      if (mag > 1) {
+        enc.bit(mag > 2, &ctx.gt2[gctx]);
+        if (mag > 2) enc.eg0(mag - 3);
+      }
+      enc.bypass(c[i] < 0);
+    }
+  }
+
+  int decode_block(Decoder& dec, int64_t cy, int64_t cx, int32_t* c,
+                   bool size16) {
+    const int mode = decode_mode(dec, cy, cx);
+    const int ncoef = size16 ? 256 : 64;
+    const int nlast = size16 ? 8 : 6;
+    uint16_t* lastc = size16 ? ctx.last16 : ctx.last8;
+    uint16_t* sigc = size16 ? ctx.sig16 : ctx.sig8;
+    uint16_t* cbfc = size16 ? ctx.cbf16 : ctx.cbf8;
+    const int has = dec.bit(&cbfc[grid.cbf_ctx(cy, cx)]);
+    const int span = size16 ? 2 : 1;
+    for (int dy = 0; dy < span; dy++)
+      for (int dx = 0; dx < span; dx++) {
+        grid.mode[(size_t)((cy + dy) * grid.w + cx + dx)] = mode;
+        grid.cbf[(size_t)((cy + dy) * grid.w + cx + dx)] = (uint8_t)has;
+      }
+    std::memset(c, 0, (size_t)ncoef * sizeof(int32_t));
+    if (!has) return mode;
+    int last = 0;
+    for (int k = nlast - 1; k >= 0; k--) last |= dec.bit(&lastc[k]) << k;
+    int nsig = 0;
+    for (int i = 0; i <= last; i++) {
+      int s = (i == last) ? 1 : dec.bit(&sigc[size16 ? band16(i) : band(i)]);
+      if (!s) continue;
+      const int gctx = (nsig == 0) ? 0 : 1;
+      nsig++;
+      uint32_t mag = 1;
+      if (dec.bit(&ctx.gt1[gctx])) {
+        mag = 2;
+        if (dec.bit(&ctx.gt2[gctx])) mag = 3 + dec.eg0();
+      }
+      c[i] = dec.bypass() ? -(int32_t)mag : (int32_t)mag;
+    }
+    return mode;
+  }
+};
+
+constexpr int kZOrder[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
 
 }  // namespace
 
-int64_t vpcc_hevc_encode(const int32_t* modes, const int32_t* coeffs,
-                         int64_t nby, int64_t nbx, uint8_t* out,
-                         int64_t capacity) {
+int64_t vpcc_hevc_encode(const int32_t* split, const int32_t* m16,
+                         const int32_t* c16, const int32_t* m8,
+                         const int32_t* c8, int64_t nby, int64_t nbx,
+                         uint8_t* out, int64_t capacity) {
   Encoder enc;
   const int64_t nb = nby * nbx;
-  enc.out.reserve((size_t)nb * 4);
+  enc.out.reserve((size_t)nb * 8);
   HevcContexts ctx;
-  std::vector<uint8_t> cbf_grid((size_t)nb, 0);
+  CellGrid grid(2 * nby, 2 * nbx);
+  std::vector<uint8_t> split_grid((size_t)nb, 0);
+  BlockCoder bc(ctx, grid);
   for (int64_t by = 0; by < nby; by++) {
     for (int64_t bx = 0; bx < nbx; bx++) {
       const int64_t bi = by * nbx + bx;
-      // --- mode (MPM from left/up)
-      int m0, m1;
-      mpm_candidates(modes, nbx, by, bx, m0, m1);
-      const int mode = (int)modes[bi];
-      enc.bit(mode == m0, &ctx.mpm0);
-      if (mode != m0) {
-        enc.bit(mode == m1, &ctx.mpm1);
-        if (mode != m1) {
-          int r = mode - (mode > m0) - (mode > m1);  // rank among remaining 34
-          if (r < 32) {
-            enc.bit(0, &ctx.esc);
-            for (int k = 4; k >= 0; k--) enc.bypass((r >> k) & 1);
-          } else {
-            enc.bit(1, &ctx.esc);
-            enc.bypass(r - 32);
-          }
+      const int spl = split[bi] != 0;
+      const int sl = bx > 0 ? split_grid[bi - 1] : 0;
+      const int su = by > 0 ? split_grid[bi - nbx] : 0;
+      enc.bit(spl, &ctx.split[sl + su]);
+      split_grid[bi] = (uint8_t)spl;
+      if (!spl) {
+        bc.encode_block(enc, 2 * by, 2 * bx, (int)m16[bi], c16 + bi * 256,
+                        true);
+      } else {
+        for (int s = 0; s < 4; s++) {
+          const int64_t cy = 2 * by + kZOrder[s][0];
+          const int64_t cx = 2 * bx + kZOrder[s][1];
+          bc.encode_block(enc, cy, cx, (int)m8[bi * 4 + s],
+                          c8 + (bi * 4 + s) * 64, false);
         }
-      }
-      // --- coefficients
-      const int32_t* c = coeffs + bi * 64;
-      int last = -1;
-      for (int i = 0; i < 64; i++)
-        if (c[i] != 0) last = i;
-      const int left_cbf = bx > 0 ? cbf_grid[bi - 1] : 0;
-      const int up_cbf = by > 0 ? cbf_grid[bi - nbx] : 0;
-      enc.bit(last >= 0, &ctx.cbf[left_cbf + up_cbf]);
-      cbf_grid[bi] = (uint8_t)(last >= 0);
-      if (last < 0) continue;
-      for (int k = 5; k >= 0; k--) enc.bit((last >> k) & 1, &ctx.last_bits[k]);
-      int nsig = 0;
-      for (int i = 0; i <= last; i++) {
-        int s = (c[i] != 0);
-        if (i < last) enc.bit(s, &ctx.sig[band(i)]);
-        if (!s) continue;
-        uint32_t mag = (uint32_t)(c[i] < 0 ? -(int64_t)c[i] : c[i]);
-        const int gctx = (nsig == 0) ? 0 : 1;
-        nsig++;
-        enc.bit(mag > 1, &ctx.gt1[gctx]);
-        if (mag > 1) {
-          enc.bit(mag > 2, &ctx.gt2[gctx]);
-          if (mag > 2) enc.eg0(mag - 3);
-        }
-        enc.bypass(c[i] < 0);
       }
     }
   }
@@ -357,61 +468,37 @@ int64_t vpcc_hevc_encode(const int32_t* modes, const int32_t* coeffs,
   return (int64_t)enc.out.size();
 }
 
-int64_t vpcc_hevc_decode(const uint8_t* data, int64_t size, int32_t* modes,
-                         int32_t* coeffs, int64_t nby, int64_t nbx) {
+int64_t vpcc_hevc_decode(const uint8_t* data, int64_t size, int32_t* split,
+                         int32_t* m16, int32_t* c16, int32_t* m8, int32_t* c8,
+                         int64_t nby, int64_t nbx) {
   Decoder dec;
   dec.init(data, (size_t)size);
   const int64_t nb = nby * nbx;
   HevcContexts ctx;
-  std::vector<uint8_t> cbf_grid((size_t)nb, 0);
-  std::memset(coeffs, 0, (size_t)nb * 64 * sizeof(int32_t));
+  CellGrid grid(2 * nby, 2 * nbx);
+  std::vector<uint8_t> split_grid((size_t)nb, 0);
+  BlockCoder bc(ctx, grid);
+  std::memset(m16, 0, (size_t)nb * sizeof(int32_t));
+  std::memset(c16, 0, (size_t)nb * 256 * sizeof(int32_t));
+  std::memset(m8, 0, (size_t)nb * 4 * sizeof(int32_t));
+  std::memset(c8, 0, (size_t)nb * 4 * 64 * sizeof(int32_t));
   for (int64_t by = 0; by < nby; by++) {
     for (int64_t bx = 0; bx < nbx; bx++) {
       const int64_t bi = by * nbx + bx;
-      int m0, m1;
-      mpm_candidates(modes, nbx, by, bx, m0, m1);
-      int mode;
-      if (dec.bit(&ctx.mpm0)) {
-        mode = m0;
-      } else if (dec.bit(&ctx.mpm1)) {
-        mode = m1;
+      const int sl = bx > 0 ? split_grid[bi - 1] : 0;
+      const int su = by > 0 ? split_grid[bi - nbx] : 0;
+      const int spl = dec.bit(&ctx.split[sl + su]);
+      split_grid[bi] = (uint8_t)spl;
+      split[bi] = spl;
+      if (!spl) {
+        m16[bi] = bc.decode_block(dec, 2 * by, 2 * bx, c16 + bi * 256, true);
       } else {
-        int r;
-        if (!dec.bit(&ctx.esc)) {
-          r = 0;
-          for (int k = 0; k < 5; k++) r = (r << 1) | dec.bypass();
-        } else {
-          r = 32 + dec.bypass();
+        for (int s = 0; s < 4; s++) {
+          const int64_t cy = 2 * by + kZOrder[s][0];
+          const int64_t cx = 2 * bx + kZOrder[s][1];
+          m8[bi * 4 + s] =
+              bc.decode_block(dec, cy, cx, c8 + (bi * 4 + s) * 64, false);
         }
-        // invert rank among remaining (m0 != m1 guaranteed)
-        const int lo = m0 < m1 ? m0 : m1;
-        const int hi = m0 < m1 ? m1 : m0;
-        mode = r;
-        if (mode >= lo) mode++;
-        if (mode >= hi) mode++;
-      }
-      modes[bi] = mode;
-      const int left_cbf = bx > 0 ? cbf_grid[bi - 1] : 0;
-      const int up_cbf = by > 0 ? cbf_grid[bi - nbx] : 0;
-      const int has = dec.bit(&ctx.cbf[left_cbf + up_cbf]);
-      cbf_grid[bi] = (uint8_t)has;
-      if (!has) continue;
-      int last = 0;
-      for (int k = 5; k >= 0; k--)
-        last |= dec.bit(&ctx.last_bits[k]) << k;
-      int32_t* c = coeffs + bi * 64;
-      int nsig = 0;
-      for (int i = 0; i <= last; i++) {
-        int s = (i == last) ? 1 : dec.bit(&ctx.sig[band(i)]);
-        if (!s) continue;
-        const int gctx = (nsig == 0) ? 0 : 1;
-        nsig++;
-        uint32_t mag = 1;
-        if (dec.bit(&ctx.gt1[gctx])) {
-          mag = 2;
-          if (dec.bit(&ctx.gt2[gctx])) mag = 3 + dec.eg0();
-        }
-        c[i] = dec.bypass() ? -(int32_t)mag : (int32_t)mag;
       }
     }
   }

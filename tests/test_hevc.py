@@ -1,0 +1,130 @@
+"""HEVC-class wavefront codec tests (vpcc_tpu/video/hevc.py).
+
+Covers the invariants the V-PCC pipeline depends on: bit-exact
+encoder/decoder reconstruction parity (incl. non-square frames, batching,
+inter refs), monotone rate-distortion behavior, and RD dominance over the
+round-1 DC-DPCM codec (VERDICT.md item 1)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vpcc_tpu.video import hevc, intra
+
+
+def _test_image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        128
+        + 70 * np.sin(xx / 17)
+        + 55 * np.cos(yy / 23)
+        + 35 * ((xx + yy) // 48 % 2)
+        + rng.normal(0, 2, (h, w))
+    )
+    return np.clip(img, 0, 255).astype(np.int32)
+
+
+@pytest.mark.parametrize("qp", [18, 28, 40])
+def test_plane_parity(qp):
+    img = _test_image(96, 160)
+    payload, rec = hevc.encode_planes([img], [qp], [255])
+    dec = np.asarray(hevc.decode_planes(payload))
+    np.testing.assert_array_equal(np.asarray(rec), dec)
+
+
+def test_rate_distortion_monotone():
+    img = _test_image(128, 128)
+    prev_bytes, prev_mse = None, None
+    for qp in (16, 24, 32, 40):
+        payload, rec = hevc.encode_planes([img], [qp], [255])
+        mse = ((np.asarray(rec)[0] - img) ** 2).mean()
+        if prev_bytes is not None:
+            assert len(payload) < prev_bytes
+            assert mse >= prev_mse * 0.9
+        prev_bytes, prev_mse = len(payload), mse
+
+
+def test_nonsquare_and_non_cu_multiple():
+    """Frames are padded to CU multiples internally and cropped back."""
+    img = _test_image(72, 184)  # multiples of 8, not of 16
+    payload, rec = hevc.encode_planes([img], [26], [255])
+    dec = np.asarray(hevc.decode_planes(payload))
+    assert dec.shape == (1, 72, 184)
+    np.testing.assert_array_equal(np.asarray(rec), dec)
+
+
+def test_inter_mode_compresses_static_frame():
+    img = _test_image(128, 128)
+    p1, rec1 = hevc.encode_planes([img], [28], [255])
+    # identical frame with the previous recon as reference: zero-MV inter
+    # should collapse the payload
+    p2, rec2 = hevc.encode_planes([np.asarray(rec1)[0]], [28], [255], refs=rec1)
+    dec2 = np.asarray(hevc.decode_planes(p2, refs=rec1))
+    np.testing.assert_array_equal(np.asarray(rec2), dec2)
+    assert len(p2) < len(p1) * 0.25, (len(p2), len(p1))
+
+
+def test_batched_planes_parity():
+    a = _test_image(96, 96, seed=1)
+    b = _test_image(96, 96, seed=2)
+    payload, rec = hevc.encode_planes([a, b], [24, 30], [255, 255])
+    dec = np.asarray(hevc.decode_planes(payload))
+    np.testing.assert_array_equal(np.asarray(rec), dec)
+
+
+def test_rgb_roundtrip_parity_nonsquare():
+    h, w = 96, 160
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(128 + 80 * np.sin(xx / 9)).clip(0, 255),
+         (128 + 70 * np.cos(yy / 11)).clip(0, 255),
+         ((xx * 2 + yy) % 256)],
+        -1,
+    ).astype(np.uint8)
+    payload, dec_rgb, refs = hevc.encode_rgb(rgb, qp=24)
+    dec2, _ = hevc.decode_rgb(payload)
+    np.testing.assert_array_equal(np.asarray(dec_rgb), np.asarray(dec2))
+    err = np.abs(np.asarray(dec_rgb).astype(int) - rgb.astype(int))
+    assert err.mean() < 6.0, err.mean()
+
+
+def test_beats_legacy_codec_rd():
+    """VERDICT item 1 'done' criterion at unit scale: the HEVC-class codec
+    dominates the round-1 DC-DPCM codec on the same content — fewer bytes
+    at equal-or-better PSNR for mid QPs."""
+    img = _test_image(128, 192, seed=3)
+    wins = 0
+    for qp in (24, 30, 36):
+        p_new, rec_new = hevc.encode_planes([img], [qp], [255])
+        mse_new = ((np.asarray(rec_new)[0] - img) ** 2).mean()
+        p_old, rec_old = intra.encode_plane_stream(img, qp=qp)
+        ro = np.clip(np.round(np.asarray(rec_old)), 0, 255)
+        mse_old = ((ro - img) ** 2).mean()
+        if len(p_new) <= len(p_old) and mse_new <= mse_old * 1.02:
+            wins += 1
+    assert wins >= 2, "HEVC-class codec should dominate the legacy codec"
+
+
+def test_occupancy_weighted_rdo_saves_rate():
+    img = _test_image(128, 128, seed=4)
+    occ = np.zeros((128, 128), np.uint8)
+    occ[32:96, 32:96] = 1
+    p_plain, rec_plain = hevc.encode_planes([img], [28], [255])
+    p_w, rec_w = hevc.encode_planes([img], [28], [255], weight=occ)
+    # weighted RDO must cut rate, and quality inside the mask must hold
+    assert len(p_w) < len(p_plain)
+    m = occ.astype(bool)
+    mse_w = ((np.asarray(rec_w)[0] - img) ** 2)[m].mean()
+    mse_p = ((np.asarray(rec_plain)[0] - img) ** 2)[m].mean()
+    assert mse_w <= mse_p * 1.6
+    # parity still holds with weights (weights are encoder-only)
+    dec = np.asarray(hevc.decode_planes(p_w))
+    np.testing.assert_array_equal(np.asarray(rec_w), dec)
+
+
+def test_deblock_integer_consistency():
+    img = _test_image(96, 96, seed=5)
+    payload, rec = hevc.encode_planes([img], [38], [255], deblock=True)
+    dec = np.asarray(hevc.decode_planes(payload))
+    np.testing.assert_array_equal(np.asarray(rec), dec)

@@ -49,16 +49,17 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ]
+        p32 = ctypes.POINTER(ctypes.c_int32)
         lib.vpcc_hevc_encode.restype = ctypes.c_int64
         lib.vpcc_hevc_encode.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            p32, p32, p32, p32, p32,
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ]
         lib.vpcc_hevc_decode.restype = ctypes.c_int64
         lib.vpcc_hevc_decode.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            p32, p32, p32, p32, p32,
             ctypes.c_int64, ctypes.c_int64,
         ]
         lib.vpcc_encode_binary_plane.restype = ctypes.c_int64
@@ -104,16 +105,22 @@ def decode_coeffs(data: bytes, nblocks: int) -> np.ndarray:
     return out
 
 
-def encode_hevc_plane(modes: np.ndarray, coeffs: np.ndarray) -> bytes:
-    """modes: (nby, nbx) int32 block modes; coeffs: (nb, 64) int32 zigzag
-    levels.  CABAC with MPM mode prediction + neighbor-context cbf."""
+def encode_hevc_plane(nby, nbx, split, m16, c16, m8, c8) -> bytes:
+    """Two-level CU syntax: split (nb,), m16 (nb,), c16 (nb, 256) zigzag,
+    m8 (nb, 4), c8 (nb, 4, 64) zigzag — CABAC with MPM mode prediction,
+    neighbor-context split/cbf flags."""
     lib = _load()
-    m = np.ascontiguousarray(modes, np.int32)
-    c = np.ascontiguousarray(coeffs, np.int32)
-    nby, nbx = m.shape
-    cap = max(nby * nbx * 160, 1 << 16)
+    s = np.ascontiguousarray(split, np.int32)
+    a = np.ascontiguousarray(m16, np.int32)
+    b = np.ascontiguousarray(c16, np.int32)
+    c = np.ascontiguousarray(m8, np.int32)
+    d = np.ascontiguousarray(c8, np.int32)
+    cap = max(nby * nbx * 640, 1 << 16)
     out = np.empty(cap, np.uint8)
-    n = lib.vpcc_hevc_encode(_i32p(m), _i32p(c), nby, nbx, _u8p(out), cap)
+    n = lib.vpcc_hevc_encode(
+        _i32p(s), _i32p(a), _i32p(b), _i32p(c), _i32p(d), nby, nbx,
+        _u8p(out), cap,
+    )
     if n < 0:
         raise RuntimeError("entropy buffer overflow")
     return out[:n].tobytes()
@@ -122,10 +129,17 @@ def encode_hevc_plane(modes: np.ndarray, coeffs: np.ndarray) -> bytes:
 def decode_hevc_plane(data: bytes, nby: int, nbx: int):
     lib = _load()
     buf = np.frombuffer(data, np.uint8)
-    modes = np.zeros((nby, nbx), np.int32)
-    coeffs = np.zeros((nby * nbx, 64), np.int32)
-    lib.vpcc_hevc_decode(_u8p(buf), len(buf), _i32p(modes), _i32p(coeffs), nby, nbx)
-    return modes, coeffs
+    nb = nby * nbx
+    split = np.zeros(nb, np.int32)
+    m16 = np.zeros(nb, np.int32)
+    c16 = np.zeros((nb, 256), np.int32)
+    m8 = np.zeros((nb, 4), np.int32)
+    c8 = np.zeros((nb, 4, 64), np.int32)
+    lib.vpcc_hevc_decode(
+        _u8p(buf), len(buf), _i32p(split), _i32p(m16), _i32p(c16),
+        _i32p(m8), _i32p(c8), nby, nbx,
+    )
+    return split, m16, c16, m8, c8
 
 
 def encode_binary_plane(plane: np.ndarray) -> bytes:

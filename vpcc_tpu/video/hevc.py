@@ -9,36 +9,44 @@ subprocess as the hottest stage of TMC2).
 TPU-first architecture (not an HM port):
 
 * The raster-scan intra dependency becomes a **wavefront lax.scan** over
-  diagonals d = 2*by + bx (WPP order).  Every step processes one diagonal:
-  all blocks on it are independent, so the whole diagonal is one batched
-  program — gather reference samples, predict ALL 36 modes at once (35
-  HEVC intra modes + zero-MV inter), transform, quantize, RD-select, and
-  reconstruct, then scatter into the frame buffer.  No per-block Python,
-  no per-block dispatch: one compiled scan per plane shape.
+  16x16 CU diagonals d = 2*by + bx (WPP order).  Every step processes one
+  diagonal: all CUs on it are independent, so the whole diagonal is one
+  batched program — gather reference samples, predict ALL 36 modes at once
+  (35 HEVC intra modes + zero-MV inter), transform, quantize, RD-select,
+  reconstruct, scatter into the frame buffer.  No per-block Python, no
+  per-block dispatch: one compiled scan per plane shape.
+* **Two-level CU quadtree**: each 16x16 CU is evaluated as one 16x16
+  prediction+transform AND as four 8x8 blocks (coded in z-order inside the
+  step, so later sub-blocks predict from earlier ones), and the cheaper
+  branch wins — the variable-block-size machinery that gives HEVC its
+  low-rate efficiency on smooth content.
 * All 35 intra predictions are **2-tap static gathers** over the (4N+1)
   reference vector (tables in hevc_tables.py), so mode evaluation is a
   single gather + multiply-add over a (blocks, 35, N, N) tensor.
 * RD optimization runs in the transform domain (orthonormal forward DCT in
-  f32 on the MXU; distortion = sum (c - level*qstep)^2, which equals pixel
-  SSE by Parseval) — only the chosen mode pays an inverse transform.
-* The reconstruction path (dequant + inverse transform + prediction add +
-  clip) is **pure int32**, bit-exact and platform-independent: encoder-side
-  recon == decoder recon on TPU or CPU, which the V-PCC pipeline relies on
-  for encoder/decoder parity.
+  f32; distortion = sum (c - level*qstep)^2, which equals pixel SSE by
+  Parseval) — only the chosen mode pays an inverse transform.
+* Distortion is weighted per block by the fraction of pixels that generate
+  3D points (the decoded occupancy): background-fill distortion is nearly
+  free, so rate flows to the pixels V-PCC reconstruction actually reads.
+* The reconstruction path (dequant + integer inverse transform + prediction
+  add + clip) is **pure int32**, bit-exact and platform-independent:
+  encoder-side recon == decoder recon on TPU or CPU, which the V-PCC
+  pipeline relies on for encoder/decoder parity.
 * Entropy coding is a host-side context-adaptive binary arithmetic coder
-  (native/entropy.cpp: MPM mode coding, last-position + significance +
-  greater1/greater2 coefficient syntax), mirroring HM's CABAC role per the
-  SURVEY.md §7.5 wavefront split.
+  (native/entropy.cpp: split flags, MPM mode coding, last-position +
+  significance + greater1/greater2 coefficient syntax), mirroring HM's
+  CABAC role per the SURVEY.md §7.5 wavefront split.
 
-A deblocking filter (HEVC-style single-pixel normal filter with spec
-beta/tc thresholds) runs identically on both sides after reconstruction.
+A deblocking filter (HEVC-style normal filter with spec beta/tc thresholds)
+runs identically on both sides after reconstruction.
 """
 
 from __future__ import annotations
 
 import functools
 import struct
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,65 +56,115 @@ from vpcc_tpu.ops import padding
 from vpcc_tpu.video import entropy
 from vpcc_tpu.video import hevc_tables as tab
 
-N = 8
-N2 = N * N
-NREF = 4 * N + 1
-S1, S2 = 11, 10  # inverse-transform downshifts (total 21 = 18 + log2(8))
+CU = 16                      # top CU size
+SUB = 8                      # split block size
+SUB_OFF = ((0, 0), (0, 8), (8, 0), (8, 8))  # z-order
 
 _MODE_BITS = np.full(tab.N_MODES, 5.0, np.float32)
 _MODE_BITS[0] = _MODE_BITS[1] = 3.0   # planar/DC: usually MPM-coded
 _MODE_BITS[tab.MODE_INTER] = 2.0      # inter flag
 
 
-# ---------------------------------------------------------------------------
-# device core
+class _SizeConsts:
+    """Per-block-size device constants (prediction taps, transforms)."""
+
+    def __init__(self, n: int, WB: int):
+        self.n = n
+        idx0, idx1, w0, w1 = tab.angular_taps(n)
+        self.idx0, self.idx1 = jnp.asarray(idx0), jnp.asarray(idx1)
+        self.w0, self.w1 = jnp.asarray(w0), jnp.asarray(w1)
+        pl_left, pl_top, pl_tr, pl_bl = tab.planar_taps(n)
+        self.pl_left, self.pl_top = jnp.asarray(pl_left), jnp.asarray(pl_top)
+        self.pl_tr, self.pl_bl = pl_tr, pl_bl
+        self.dc_shift = n.bit_length()          # log2(n) + 1
+        self.T = jnp.asarray(tab.dct_int(n))
+        self.Tt = jnp.asarray(tab.dct_int(n).T)
+        self.Cf = jnp.asarray(tab.dct_orthonormal(n).astype(np.float32))
+        # inverse-transform downshifts: total 18 + log2(n)
+        total = 18 + (n.bit_length() - 1)
+        self.s1 = 11
+        self.s2 = total - self.s1
+        self.zz = jnp.asarray(tab.zigzag(n))
+        self.ref_offs = jnp.asarray(
+            np.concatenate(
+                [[-WB - 1], np.arange(2 * n) - WB, np.arange(2 * n) * WB - 1]
+            ).astype(np.int32)
+        )
+        self.blk_offs = jnp.asarray(
+            (np.arange(n)[:, None] * WB + np.arange(n)[None, :])
+            .reshape(-1)
+            .astype(np.int32)
+        )
 
 
-def _predict_all(refs, ref_blocks, consts):
-    """refs: (P, B, 4N+1) int32; ref_blocks: (P, B, N2) int32 (co-located
-    inter prediction).  Returns (P, B, 36, N2) int32 predictions."""
-    idx0, idx1, w0, w1, pl_left, pl_top, pl_tr, pl_bl = consts
-    ang = (w0 * refs[:, :, idx0] + w1 * refs[:, :, idx1] + 16) >> 5
-    # DC: mean of the N top + N left references
-    dcsum = refs[:, :, 1 : N + 1].sum(-1) + refs[:, :, 2 * N + 1 : 3 * N + 1].sum(-1)
-    dc = (dcsum + N) >> 4  # log2(N)+1
-    dc = jnp.broadcast_to(dc[:, :, None, None, None], ang.shape[:2] + (1, N, N))
-    # planar
-    xs = jnp.arange(N, dtype=jnp.int32)
-    left_y = refs[:, :, pl_left]   # (P, B, N) = L[y]
-    top_x = refs[:, :, pl_top]     # (P, B, N) = T[x]
-    tr = refs[:, :, pl_tr]         # (P, B)
-    bl = refs[:, :, pl_bl]
+def _predict_all(refs, ref_blocks, C: _SizeConsts):
+    """refs: (P, B, 4n+1) int32; ref_blocks: (P, B, n*n) int32 (co-located
+    inter prediction).  Returns (P, B, 36, n*n) int32 predictions."""
+    n = C.n
+    ang = (C.w0 * refs[:, :, C.idx0] + C.w1 * refs[:, :, C.idx1] + 16) >> 5
+    dcsum = refs[:, :, 1 : n + 1].sum(-1) + refs[:, :, 2 * n + 1 : 3 * n + 1].sum(-1)
+    dc = (dcsum + n) >> C.dc_shift
+    dc = jnp.broadcast_to(dc[:, :, None, None, None], ang.shape[:2] + (1, n, n))
+    xs = jnp.arange(n, dtype=jnp.int32)
+    left_y = refs[:, :, C.pl_left]
+    top_x = refs[:, :, C.pl_top]
+    tr = refs[:, :, C.pl_tr]
+    bl = refs[:, :, C.pl_bl]
     planar = (
-        (N - 1 - xs)[None, None, None, :] * left_y[:, :, :, None]
+        (n - 1 - xs)[None, None, None, :] * left_y[:, :, :, None]
         + (xs + 1)[None, None, None, :] * tr[:, :, None, None]
-        + (N - 1 - xs)[None, None, :, None] * top_x[:, :, None, :]
+        + (n - 1 - xs)[None, None, :, None] * top_x[:, :, None, :]
         + (xs + 1)[None, None, :, None] * bl[:, :, None, None]
-        + N
-    ) >> 4
-    intra = jnp.concatenate(
-        [planar[:, :, None], dc, ang], axis=2
-    )  # (P, B, 35, N, N)
-    inter = ref_blocks.reshape(ref_blocks.shape[:2] + (1, N, N))
+        + n
+    ) >> C.dc_shift
+    intra = jnp.concatenate([planar[:, :, None], dc, ang], axis=2)
+    inter = ref_blocks.reshape(ref_blocks.shape[:2] + (1, n, n))
     allp = jnp.concatenate([intra, inter], axis=2)
-    return allp.reshape(allp.shape[:2] + (tab.N_MODES, N2))
+    return allp.reshape(allp.shape[:2] + (tab.N_MODES, n * n))
 
 
-def _int_recon(levels, pred, dq, maxval, T_int):
+def _int_recon(levels, pred, dq, maxvals, C: _SizeConsts):
     """Bit-exact int32 reconstruction: dequant -> integer inverse transform
-    -> add prediction -> clip.  levels/pred: (P, B, N2); dq/maxval: (P,)."""
-    d = levels.reshape(levels.shape[:2] + (N, N)) * dq[:, None, None, None]
+    -> add prediction -> clip.  levels/pred: (P, B, n*n); dq/maxvals: (P,)."""
+    n = C.n
+    d = levels.reshape(levels.shape[:2] + (n, n)) * dq[:, None, None, None]
     d = jnp.clip(d, -(1 << 19), (1 << 19) - 1)
-    tt = jnp.asarray(T_int.T)
-    t = jnp.asarray(T_int)
-    e = (jnp.einsum("ij,pbjk->pbik", tt, d) + (1 << (S1 - 1))) >> S1
-    r = (jnp.einsum("pbik,kj->pbij", e, t) + (1 << (S2 - 1))) >> S2
-    rec = pred + r.reshape(levels.shape[:2] + (N2,))
-    return jnp.clip(rec, 0, maxval[:, None, None])
+    e = (jnp.einsum("ij,pbjk->pbik", C.Tt, d) + (1 << (C.s1 - 1))) >> C.s1
+    r = (jnp.einsum("pbik,kj->pbij", e, C.T) + (1 << (C.s2 - 1))) >> C.s2
+    rec = pred + r.reshape(levels.shape[:2] + (n * n,))
+    return jnp.clip(rec, 0, maxvals[:, None, None])
+
+
+def _rd_choose(src_v, allp, wblk, qstep, inv_q, lam, inter_pen, mode_bits, C):
+    """Transform-domain RDO over all 36 modes.  Returns (mode (P,B),
+    levels (P,B,n2) of the chosen mode, pred (P,B,n2), cost (P,B))."""
+    n = C.n
+    resid = (src_v[:, :, None, :] - allp).astype(jnp.float32)
+    rs = resid.reshape(resid.shape[:2] + (tab.N_MODES, n, n))
+    c = jnp.einsum("ij,pbmjk,lk->pbmil", C.Cf, rs, C.Cf)
+    ca = jnp.abs(c)
+    lv = jnp.floor(ca * inv_q[:, None, None, None, None] + 0.33)
+    lv = jnp.minimum(lv, 32767.0)
+    dist = jnp.sum((ca - lv * qstep[:, None, None, None, None]) ** 2, (-2, -1))
+    bits = jnp.sum(
+        jnp.where(lv > 0, 3.0 + 2.0 * jnp.log2(1.0 + lv), 0.0), (-2, -1)
+    )
+    cost = wblk[:, :, None] * dist + lam[:, None, None] * (
+        bits + mode_bits[None, None, :]
+    )
+    cost = cost.at[:, :, tab.MODE_INTER].add(inter_pen)
+    mode = jnp.argmin(cost, axis=2)
+    levels = (jnp.sign(c) * lv).astype(jnp.int32)
+    levels = levels.reshape(levels.shape[:2] + (tab.N_MODES, n * n))
+    msel = mode[:, :, None, None]
+    lev_c = jnp.take_along_axis(levels, msel, axis=2)[:, :, 0]
+    pred_c = jnp.take_along_axis(allp, msel, axis=2)[:, :, 0]
+    cost_c = jnp.take_along_axis(cost, mode[:, :, None], axis=2)[:, :, 0]
+    return mode, lev_c, pred_c, cost_c
 
 
 def _deblock(rec, qps, maxvals):
-    """HEVC-style normal deblocking filter on all N-aligned block edges
+    """HEVC-style normal deblocking filter on all 8-aligned block edges
     (boundary strength 2: everything here is intra / freshly coded).
     Integer-exact; applied identically by encoder and decoder."""
     P, H, W = rec.shape
@@ -115,11 +173,10 @@ def _deblock(rec, qps, maxvals):
     tc = (tc8 * jnp.maximum(scale, 1))[:, None, None]
 
     def filter_axis(v):
-        # vertical edges of (P, h, w): between col k*N-1 and k*N
         _, h, w = v.shape
-        a = v.reshape(P, h, w // N, N)
-        p1 = a[:, :, :-1, N - 2]
-        p0 = a[:, :, :-1, N - 1]
+        a = v.reshape(P, h, w // SUB, SUB)
+        p1 = a[:, :, :-1, SUB - 2]
+        p0 = a[:, :, :-1, SUB - 1]
         q0 = a[:, :, 1:, 0]
         q1 = a[:, :, 1:, 1]
         dlt = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
@@ -128,7 +185,7 @@ def _deblock(rec, qps, maxvals):
         mv = maxvals[:, None, None]
         p0n = jnp.where(on, jnp.clip(p0 + d, 0, mv), p0)
         q0n = jnp.where(on, jnp.clip(q0 - d, 0, mv), q0)
-        a = a.at[:, :, :-1, N - 1].set(p0n)
+        a = a.at[:, :, :-1, SUB - 1].set(p0n)
         a = a.at[:, :, 1:, 0].set(q0n)
         return a.reshape(P, h, w)
 
@@ -150,152 +207,165 @@ def _pad_flat(x, HB, WB, extra):
 
 @functools.lru_cache(maxsize=32)
 def _build_encode(P: int, H: int, W: int, deblock: bool):
-    nby, nbx = H // N, W // N
+    nby, nbx = H // CU, W // CU
     nb = nby * nbx
-    HB, WB = H + N + 2, W + N + 2
+    HB, WB = H + 2 * CU + 2, W + 2 * CU + 2
     SZ = HB * WB
     by_tab, bx_tab, valid_tab = tab.wavefront_schedule(nby, nbx)
-    idx0, idx1, w0, w1 = tab.angular_taps(N)
-    pl_left, pl_top, pl_tr, pl_bl = tab.planar_taps(N)
-    consts = (
-        jnp.asarray(idx0), jnp.asarray(idx1), jnp.asarray(w0), jnp.asarray(w1),
-        jnp.asarray(pl_left), jnp.asarray(pl_top), pl_tr, pl_bl,
-    )
-    ref_offs = np.concatenate(
-        [[-WB - 1], np.arange(2 * N) - WB, np.arange(2 * N) * WB - 1]
-    ).astype(np.int32)
-    blk_offs = (np.arange(N)[:, None] * WB + np.arange(N)[None, :]).reshape(-1)
-    T_int = tab.dct_int(N)
-    Cf = tab.dct_orthonormal(N).astype(np.float32)
-    zz = jnp.asarray(tab.zigzag(N))
+    C16 = _SizeConsts(CU, WB)
+    C8 = _SizeConsts(SUB, WB)
     dq_tab = jnp.asarray(tab.DQ64)
     lam_tab = jnp.asarray(tab.LAMBDA)
     mode_bits = jnp.asarray(_MODE_BITS)
 
     def run(planes, qps, refs, has_ref, maxvals, weights):
-        src = _pad_flat(planes, HB, WB, N2)
-        reff = _pad_flat(refs, HB, WB, N2)
-        wmap = _pad_flat(weights, HB, WB, N2)
+        src = _pad_flat(planes, HB, WB, CU * CU)
+        reff = _pad_flat(refs, HB, WB, CU * CU)
+        wmap = _pad_flat(weights, HB, WB, CU * CU)
         init = ((maxvals + 1) // 2)[:, None]
-        buf = jnp.broadcast_to(init, (P, SZ + N2)).astype(jnp.int32)
+        buf = jnp.broadcast_to(init, (P, SZ + CU * CU)).astype(jnp.int32)
         dq = dq_tab[jnp.clip(qps, 0, 51)]
         qstep = dq.astype(jnp.float32) / 64.0
         inv_q = 1.0 / qstep
         lam = lam_tab[jnp.clip(qps, 0, 51)]
         inter_pen = jnp.where(has_ref, 0.0, jnp.float32(1e30))
-        cf = jnp.asarray(Cf)
 
-        modes_out = jnp.zeros((P, nb + 1), jnp.int32)
-        coeffs_out = jnp.zeros((P, nb + 1, N2), jnp.int32)
+        split_out = jnp.zeros((P, nb + 1), jnp.int32)
+        m16_out = jnp.zeros((P, nb + 1), jnp.int32)
+        c16_out = jnp.zeros((P, nb + 1, CU * CU), jnp.int32)
+        m8_out = jnp.zeros((P, nb + 1, 4), jnp.int32)
+        c8_out = jnp.zeros((P, nb + 1, 4, SUB * SUB), jnp.int32)
+
+        def gather_w(idx):
+            return jnp.maximum(
+                jnp.take(wmap, idx, axis=1).astype(jnp.float32).mean(-1), 0.04
+            )
 
         def body(carry, xs):
-            buf, modes_out, coeffs_out = carry
+            buf, split_out, m16_out, c16_out, m8_out, c8_out = carry
             by, bx, vld = xs
-            base = (by * N + 1) * WB + (bx * N + 1)
-            base = jnp.where(vld, base, SZ)
-            ref_idx = base[:, None] + jnp.asarray(ref_offs)[None, :]
-            blk_idx = base[:, None] + jnp.asarray(blk_offs)[None, :]
-            refs_v = jnp.take(buf, ref_idx, axis=1)          # (P, B, 4N+1)
-            src_v = jnp.take(src, blk_idx, axis=1)           # (P, B, N2)
-            refblk = jnp.take(reff, blk_idx, axis=1)
-            # per-block distortion weight: fraction of pixels that will
-            # actually generate 3D points (decoded-occupancy mask) — V-PCC
-            # specific RDO: background fill distortion is nearly free
-            wblk = jnp.maximum(
-                jnp.take(wmap, blk_idx, axis=1).astype(jnp.float32).mean(-1),
-                0.04,
-            )
-            allp = _predict_all(refs_v, refblk, consts)       # (P, B, 36, N2)
-
-            resid = (src_v[:, :, None, :] - allp).astype(jnp.float32)
-            rs = resid.reshape(resid.shape[:2] + (tab.N_MODES, N, N))
-            c = jnp.einsum("ij,pbmjk,lk->pbmil", cf, rs, cf)
-            ca = jnp.abs(c)
-            lv = jnp.floor(ca * inv_q[:, None, None, None, None] + 0.33)
-            lv = jnp.minimum(lv, 32767.0)
-            dist = jnp.sum((ca - lv * qstep[:, None, None, None, None]) ** 2, (-2, -1))
-            bits = jnp.sum(
-                jnp.where(lv > 0, 3.0 + 2.0 * jnp.log2(1.0 + lv), 0.0), (-2, -1)
-            )
-            cost = wblk[:, :, None] * dist + lam[:, None, None] * (
-                bits + mode_bits[None, None, :]
-            )
-            cost = cost.at[:, :, tab.MODE_INTER].add(inter_pen)
-            mode = jnp.argmin(cost, axis=2)                   # (P, B)
-
-            levels = (jnp.sign(c) * lv).astype(jnp.int32)
-            levels = levels.reshape(levels.shape[:2] + (tab.N_MODES, N2))
-            msel = mode[:, :, None, None]
-            lev_c = jnp.take_along_axis(levels, msel, axis=2)[:, :, 0]
-            pred_c = jnp.take_along_axis(allp, msel, axis=2)[:, :, 0]
-            rec = _int_recon(lev_c, pred_c, dq, maxvals, T_int)
-
-            buf = buf.at[:, blk_idx].set(rec)
+            base16 = (by * CU + 1) * WB + (bx * CU + 1)
+            base16 = jnp.where(vld, base16, SZ)
             bidx = jnp.where(vld, by * nbx + bx, nb)
-            modes_out = modes_out.at[:, bidx].set(mode)
-            coeffs_out = coeffs_out.at[:, bidx].set(lev_c[:, :, zz])
-            return (buf, modes_out, coeffs_out), None
+            blk16 = base16[:, None] + C16.blk_offs[None, :]
+
+            # ---- 16x16 candidate (refs gathered BEFORE any sub write)
+            refs16 = jnp.take(buf, base16[:, None] + C16.ref_offs[None, :], axis=1)
+            src16 = jnp.take(src, blk16, axis=1)
+            allp16 = _predict_all(refs16, jnp.take(reff, blk16, axis=1), C16)
+            m16, lev16, pred16, cost16 = _rd_choose(
+                src16, allp16, gather_w(blk16), qstep, inv_q, lam,
+                inter_pen, mode_bits, C16,
+            )
+
+            # ---- four 8x8 sub-blocks in z-order (later ones predict from
+            # earlier ones' reconstruction, matching raster causality)
+            cost_split = jnp.broadcast_to(lam[:, None], cost16.shape) * 1.0  # split flag
+            m8s, c8s = [], []
+            for s, (dy, dx) in enumerate(SUB_OFF):
+                base8 = jnp.where(vld, base16 + dy * WB + dx, SZ)
+                blk8 = base8[:, None] + C8.blk_offs[None, :]
+                refs8 = jnp.take(buf, base8[:, None] + C8.ref_offs[None, :], axis=1)
+                src8 = jnp.take(src, blk8, axis=1)
+                allp8 = _predict_all(refs8, jnp.take(reff, blk8, axis=1), C8)
+                m8, lev8, pred8, cost8 = _rd_choose(
+                    src8, allp8, gather_w(blk8), qstep, inv_q, lam,
+                    inter_pen, mode_bits, C8,
+                )
+                rec8 = _int_recon(lev8, pred8, dq, maxvals, C8)
+                buf = buf.at[:, blk8].set(rec8)
+                cost_split = cost_split + cost8
+                m8s.append(m8)
+                c8s.append(lev8[:, :, C8.zz])
+
+            # ---- decision: keep the z-order 8x8 recon or overwrite with 16
+            split = cost_split < cost16                      # (P, B)
+            rec16 = _int_recon(lev16, pred16, dq, maxvals, C16)
+            cur = jnp.take(buf, blk16, axis=1)               # 8x8 recons
+            merged = jnp.where(split[:, :, None], cur, rec16)
+            buf = buf.at[:, blk16].set(merged)
+
+            split_out = split_out.at[:, bidx].set(split.astype(jnp.int32))
+            m16_out = m16_out.at[:, bidx].set(m16)
+            c16_out = c16_out.at[:, bidx].set(lev16[:, :, C16.zz])
+            m8_out = m8_out.at[:, bidx].set(jnp.stack(m8s, -1))
+            c8_out = c8_out.at[:, bidx].set(jnp.stack(c8s, 2))
+            return (buf, split_out, m16_out, c16_out, m8_out, c8_out), None
 
         xs = (jnp.asarray(by_tab), jnp.asarray(bx_tab), jnp.asarray(valid_tab))
-        (buf, modes_out, coeffs_out), _ = jax.lax.scan(
-            body, (buf, modes_out, coeffs_out), xs
+        carry = (buf, split_out, m16_out, c16_out, m8_out, c8_out)
+        (buf, split_out, m16_out, c16_out, m8_out, c8_out), _ = jax.lax.scan(
+            body, carry, xs
         )
         rec = buf[:, :SZ].reshape(P, HB, WB)[:, 1 : 1 + H, 1 : 1 + W]
         if deblock:
             rec = _deblock(rec, qps, maxvals)
-        return modes_out[:, :nb], coeffs_out[:, :nb], rec
+        return (
+            split_out[:, :nb], m16_out[:, :nb], c16_out[:, :nb],
+            m8_out[:, :nb], c8_out[:, :nb], rec,
+        )
 
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_decode(P: int, H: int, W: int, deblock: bool):
-    nby, nbx = H // N, W // N
+    nby, nbx = H // CU, W // CU
     nb = nby * nbx
-    HB, WB = H + N + 2, W + N + 2
+    HB, WB = H + 2 * CU + 2, W + 2 * CU + 2
     SZ = HB * WB
     by_tab, bx_tab, valid_tab = tab.wavefront_schedule(nby, nbx)
-    idx0, idx1, w0, w1 = tab.angular_taps(N)
-    pl_left, pl_top, pl_tr, pl_bl = tab.planar_taps(N)
-    consts = (
-        jnp.asarray(idx0), jnp.asarray(idx1), jnp.asarray(w0), jnp.asarray(w1),
-        jnp.asarray(pl_left), jnp.asarray(pl_top), pl_tr, pl_bl,
-    )
-    ref_offs = np.concatenate(
-        [[-WB - 1], np.arange(2 * N) - WB, np.arange(2 * N) * WB - 1]
-    ).astype(np.int32)
-    blk_offs = (np.arange(N)[:, None] * WB + np.arange(N)[None, :]).reshape(-1)
-    T_int = tab.dct_int(N)
-    inv_zz = jnp.asarray(np.argsort(tab.zigzag(N)).astype(np.int32))
+    C16 = _SizeConsts(CU, WB)
+    C8 = _SizeConsts(SUB, WB)
+    inv_zz16 = jnp.asarray(np.argsort(tab.zigzag(CU)).astype(np.int32))
+    inv_zz8 = jnp.asarray(np.argsort(tab.zigzag(SUB)).astype(np.int32))
     dq_tab = jnp.asarray(tab.DQ64)
 
-    def run(modes, coeffs_zz, qps, refs, maxvals):
-        reff = _pad_flat(refs, HB, WB, N2)
+    def run(split, m16, c16, m8, c8, qps, refs, maxvals):
+        reff = _pad_flat(refs, HB, WB, CU * CU)
         init = ((maxvals + 1) // 2)[:, None]
-        buf = jnp.broadcast_to(init, (P, SZ + N2)).astype(jnp.int32)
+        buf = jnp.broadcast_to(init, (P, SZ + CU * CU)).astype(jnp.int32)
         dq = dq_tab[jnp.clip(qps, 0, 51)]
-        levels_all = coeffs_zz[:, :, inv_zz]                  # (P, nb, N2)
-        # pad one dump row so invalid slots index harmlessly
-        modes_p = jnp.concatenate([modes, jnp.zeros((P, 1), jnp.int32)], 1)
-        levels_p = jnp.concatenate(
-            [levels_all, jnp.zeros((P, 1, N2), jnp.int32)], 1
+        pad1 = lambda a: jnp.concatenate(
+            [a, jnp.zeros((P, 1) + a.shape[2:], a.dtype)], axis=1
         )
+        split_p, m16_p, m8_p = pad1(split), pad1(m16), pad1(m8)
+        c16_p = pad1(c16[:, :, inv_zz16])
+        c8_p = pad1(c8[:, :, :, inv_zz8])
 
         def body(buf, xs):
             by, bx, vld = xs
-            base = (by * N + 1) * WB + (bx * N + 1)
-            base = jnp.where(vld, base, SZ)
+            base16 = (by * CU + 1) * WB + (bx * CU + 1)
+            base16 = jnp.where(vld, base16, SZ)
             bidx = jnp.where(vld, by * nbx + bx, nb)
-            ref_idx = base[:, None] + jnp.asarray(ref_offs)[None, :]
-            blk_idx = base[:, None] + jnp.asarray(blk_offs)[None, :]
-            refs_v = jnp.take(buf, ref_idx, axis=1)
-            refblk = jnp.take(reff, blk_idx, axis=1)
-            allp = _predict_all(refs_v, refblk, consts)
-            mode = jnp.take(modes_p, bidx, axis=1)            # (P, B)
-            lev = jnp.take(levels_p, bidx, axis=1)            # (P, B, N2)
-            pred = jnp.take_along_axis(allp, mode[:, :, None, None], axis=2)[:, :, 0]
-            rec = _int_recon(lev, pred, dq, maxvals, T_int)
-            buf = buf.at[:, blk_idx].set(rec)
+            blk16 = base16[:, None] + C16.blk_offs[None, :]
+            spl = jnp.take(split_p, bidx, axis=1)            # (P, B)
+
+            refs16 = jnp.take(buf, base16[:, None] + C16.ref_offs[None, :], axis=1)
+            allp16 = _predict_all(refs16, jnp.take(reff, blk16, axis=1), C16)
+            mode16 = jnp.take(m16_p, bidx, axis=1)
+            lev16 = jnp.take(c16_p, bidx, axis=1)
+            pred16 = jnp.take_along_axis(
+                allp16, mode16[:, :, None, None], axis=2
+            )[:, :, 0]
+            rec16 = _int_recon(lev16, pred16, dq, maxvals, C16)
+
+            for s, (dy, dx) in enumerate(SUB_OFF):
+                base8 = jnp.where(vld, base16 + dy * WB + dx, SZ)
+                blk8 = base8[:, None] + C8.blk_offs[None, :]
+                refs8 = jnp.take(buf, base8[:, None] + C8.ref_offs[None, :], axis=1)
+                allp8 = _predict_all(refs8, jnp.take(reff, blk8, axis=1), C8)
+                mode8 = jnp.take(m8_p[:, :, s], bidx, axis=1)
+                lev8 = jnp.take(c8_p[:, :, s], bidx, axis=1)
+                pred8 = jnp.take_along_axis(
+                    allp8, mode8[:, :, None, None], axis=2
+                )[:, :, 0]
+                rec8 = _int_recon(lev8, pred8, dq, maxvals, C8)
+                buf = buf.at[:, blk8].set(rec8)
+
+            cur = jnp.take(buf, blk16, axis=1)
+            merged = jnp.where(spl[:, :, None] != 0, cur, rec16)
+            buf = buf.at[:, blk16].set(merged)
             return buf, None
 
         xs = (jnp.asarray(by_tab), jnp.asarray(bx_tab), jnp.asarray(valid_tab))
@@ -324,6 +394,16 @@ def _round_int_plane(plane, occ):
     return jnp.round(x).astype(jnp.int32)
 
 
+def _pad_to_cu(x, mode="edge"):
+    """Pad (P, H, W) up to CU multiples by edge replication."""
+    P, H, W = x.shape
+    Hp = -(-H // CU) * CU
+    Wp = -(-W // CU) * CU
+    if (Hp, Wp) == (H, W):
+        return x
+    return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)), mode=mode)
+
+
 def encode_planes(
     planes,
     qps,
@@ -349,7 +429,7 @@ def encode_planes(
         if planes.ndim == 2:
             planes = planes[None]
     P, H, W = planes.shape
-    assert H % N == 0 and W % N == 0, (H, W)
+    assert H % SUB == 0 and W % SUB == 0, (H, W)
     if occ is not None:
         planes = jax.vmap(lambda p: _round_int_plane(p, occ))(planes)
     else:
@@ -360,8 +440,6 @@ def encode_planes(
         if has_ref
         else jnp.zeros((P, H, W), jnp.int32)
     )
-    qps_a = jnp.asarray(np.asarray(qps, np.int32))
-    mv_a = jnp.asarray(np.asarray(maxvals, np.int32))
     if weight is None:
         w_a = jnp.ones((P, H, W), jnp.int32)
     else:
@@ -369,26 +447,71 @@ def encode_planes(
         if w_a.ndim == 2:
             w_a = jnp.broadcast_to(w_a[None] != 0, (P, H, W))
         w_a = w_a.astype(jnp.int32)
-    fn = _build_encode(P, H, W, deblock)
-    modes, coeffs, rec = fn(
-        planes, qps_a, refs_a, jnp.asarray(bool(has_ref)), mv_a, w_a
+    planes_p = _pad_to_cu(planes)
+    refs_p = _pad_to_cu(refs_a)
+    w_p = _pad_to_cu(w_a, mode="constant")
+    _, Hp, Wp = planes_p.shape
+    qps_a = jnp.asarray(np.asarray(qps, np.int32))
+    mv_a = jnp.asarray(np.asarray(maxvals, np.int32))
+    fn = _build_encode(P, Hp, Wp, deblock)
+    split, m16, c16, m8, c8, rec = fn(
+        planes_p, qps_a, refs_p, jnp.asarray(bool(has_ref)), mv_a, w_p
     )
-    modes.copy_to_host_async()
-    coeffs.copy_to_host_async()
-    modes_h = np.asarray(modes)
-    coeffs_h = np.asarray(coeffs)
-    nby, nbx = H // N, W // N
+    for a in (split, m16, c16, m8, c8):
+        a.copy_to_host_async()
+    split_h, m16_h, c16_h = np.asarray(split), np.asarray(m16), np.asarray(c16)
+    m8_h, c8_h = np.asarray(m8), np.asarray(c8)
+    nby, nbx = Hp // CU, Wp // CU
     flags = (FLAG_INTER if has_ref else 0) | (FLAG_DEBLOCK if deblock else 0)
     out = bytearray()
     out += struct.pack("<HHBB", H, W, P, flags)
     for p in range(P):
         blob = entropy.encode_hevc_plane(
-            modes_h[p].reshape(nby, nbx), coeffs_h[p]
+            nby, nbx, split_h[p], m16_h[p], c16_h[p], m8_h[p], c8_h[p]
         )
         out += struct.pack("<BHI", int(qps[p]), int(maxvals[p]), len(blob))
         out += blob
-    return bytes(out), rec
+    return bytes(out), rec[:, :H, :W]
 
+
+def decode_planes(payload: bytes, refs=None) -> jax.Array:
+    """Inverse of encode_planes: payload -> (P, H, W) int32 recon ON DEVICE."""
+    H, W, P, flags = struct.unpack("<HHBB", payload[:6])
+    pos = 6
+    Hp = -(-H // CU) * CU
+    Wp = -(-W // CU) * CU
+    nby, nbx = Hp // CU, Wp // CU
+    nb = nby * nbx
+    qps = np.zeros(P, np.int32)
+    maxvals = np.zeros(P, np.int32)
+    split = np.zeros((P, nb), np.int32)
+    m16 = np.zeros((P, nb), np.int32)
+    c16 = np.zeros((P, nb, CU * CU), np.int32)
+    m8 = np.zeros((P, nb, 4), np.int32)
+    c8 = np.zeros((P, nb, 4, SUB * SUB), np.int32)
+    for p in range(P):
+        qps[p], maxvals[p], ln = struct.unpack("<BHI", payload[pos : pos + 7])
+        pos += 7
+        s_, a_, b_, c_, d_ = entropy.decode_hevc_plane(
+            payload[pos : pos + ln], nby, nbx
+        )
+        pos += ln
+        split[p], m16[p], c16[p], m8[p], c8[p] = s_, a_, b_, c_, d_
+    if flags & FLAG_INTER:
+        refs_a = _pad_to_cu(jnp.asarray(refs).astype(jnp.int32))
+    else:
+        refs_a = jnp.zeros((P, Hp, Wp), jnp.int32)
+    fn = _build_decode(P, Hp, Wp, bool(flags & FLAG_DEBLOCK))
+    rec = fn(
+        jnp.asarray(split), jnp.asarray(m16), jnp.asarray(c16),
+        jnp.asarray(m8), jnp.asarray(c8), jnp.asarray(qps),
+        refs_a, jnp.asarray(maxvals),
+    )
+    return rec[:, :H, :W]
+
+
+# ---------------------------------------------------------------------------
+# RGB 4:2:0 layer
 
 def _downsample_420_int(plane):
     """Integer-exact 2x2 mean (rounded): chroma subsampling both sides."""
@@ -474,31 +597,3 @@ def decode_rgb(payload: bytes, refs=None):
     recc = decode_planes(pc, refs=rc)
     rgb = _int_planes_to_rgb(recy[0], recc[0], recc[1])
     return rgb, (recy, recc)
-
-
-def decode_planes(payload: bytes, refs=None) -> jax.Array:
-    """Inverse of encode_planes: payload -> (P, H, W) int32 recon ON DEVICE."""
-    H, W, P, flags = struct.unpack("<HHBB", payload[:6])
-    pos = 6
-    nby, nbx = H // N, W // N
-    nb = nby * nbx
-    qps = np.zeros(P, np.int32)
-    maxvals = np.zeros(P, np.int32)
-    modes = np.zeros((P, nb), np.int32)
-    coeffs = np.zeros((P, nb, N2), np.int32)
-    for p in range(P):
-        qps[p], maxvals[p], ln = struct.unpack("<BHI", payload[pos : pos + 7])
-        pos += 7
-        m, c = entropy.decode_hevc_plane(payload[pos : pos + ln], nby, nbx)
-        pos += ln
-        modes[p] = m.reshape(-1)
-        coeffs[p] = c
-    if flags & FLAG_INTER:
-        refs_a = jnp.asarray(refs).astype(jnp.int32)
-    else:
-        refs_a = jnp.zeros((P, H, W), jnp.int32)
-    fn = _build_decode(P, H, W, bool(flags & FLAG_DEBLOCK))
-    return fn(
-        jnp.asarray(modes), jnp.asarray(coeffs), jnp.asarray(qps),
-        refs_a, jnp.asarray(maxvals),
-    )
