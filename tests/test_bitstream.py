@@ -72,3 +72,52 @@ def test_lossless_plane_roundtrip():
     ):
         rt = lossless.decode_plane(lossless.encode_plane(arr))
         np.testing.assert_array_equal(rt, arr)
+
+
+def test_p_tile_patch_prediction_rate():
+    """P-tiles predict matched patches from the previous tile: identical
+    patch lists collapse to SKIP modes (>=50% atlas-bit drop, VERDICT item
+    4), and the reader reconstructs the exact patch fields."""
+    from vpcc_tpu.bitstream import v3c
+    from vpcc_tpu.bitstream.bitio import BitReader, BitWriter
+
+    rng = np.random.default_rng(3)
+    pdus = []
+    for i in range(40):
+        pdus.append(
+            v3c.PatchDataUnit(
+                pos_x=int(rng.integers(0, 60)), pos_y=int(rng.integers(0, 60)),
+                size_x_m1=int(rng.integers(0, 20)), size_y_m1=int(rng.integers(0, 20)),
+                offset_u=int(rng.integers(0, 500)), offset_v=int(rng.integers(0, 500)),
+                offset_d=int(rng.integers(0, 10)), range_d=int(rng.integers(0, 4)),
+                projection_id=int(rng.integers(0, 6)), orientation=int(rng.integers(0, 8)),
+                size_u=int(rng.integers(1, 300)), size_v=int(rng.integers(1, 300)),
+            )
+        )
+    bw_i = BitWriter()
+    v3c.AtlasTileLayer(frame_index=0, patches=pdus).write(bw_i)
+    i_bits = len(bw_i.getvalue())
+
+    # frame 2: same patches, slight drift on a third, linked to refs
+    import dataclasses as dc
+    pdus2 = []
+    for i, q in enumerate(pdus):
+        p = dc.replace(q, ref_index=i)
+        if i % 3 == 0:
+            p.pos_x += 1
+            p.offset_u += 2
+        pdus2.append(p)
+    bw_p = BitWriter()
+    v3c.AtlasTileLayer(
+        frame_index=1, patches=pdus2, tile_type=v3c.TILE_P, ref_patches=pdus
+    ).write(bw_p)
+    p_bits = len(bw_p.getvalue())
+    assert p_bits < i_bits * 0.5, (p_bits, i_bits)
+
+    # round trip
+    t0 = v3c.AtlasTileLayer.read(BitReader(bw_i.getvalue()))
+    t1 = v3c.AtlasTileLayer.read(BitReader(bw_p.getvalue()), ref_patches=t0.patches)
+    for a, b in zip(t1.patches, pdus2):
+        assert a.fields() == b.fields()
+        assert a.projection_id == b.projection_id
+        assert a.orientation == b.orientation

@@ -114,6 +114,15 @@ class V3CParameterSet:
         return v
 
 
+# tile types / patch modes (reference: PCCBitstreamCommon.h:175-211
+# I_INTRA and P_SKIP/P_MERGE/P_INTER/P_INTRA enums)
+TILE_I = 0
+TILE_P = 1
+PATCH_SKIP = 0
+PATCH_INTER = 1
+PATCH_INTRA = 2
+
+
 @dataclasses.dataclass
 class PatchDataUnit:
     """Per-patch syntax (reference: PatchDataUnit written at
@@ -131,6 +140,17 @@ class PatchDataUnit:
     orientation: int = 0    # 0..8
     size_u: int = 0         # exact pixel dims (pdu via quantizer in ref)
     size_v: int = 0
+    # temporal prediction link (not serialized for intra patches): index of
+    # the matched patch in the previous tile's patch list (reference:
+    # inter patch ref index, PCCDecoder.cpp:829-1213)
+    ref_index: int = -1
+
+    def fields(self):
+        return (
+            self.pos_x, self.pos_y, self.size_x_m1, self.size_y_m1,
+            self.offset_u, self.offset_v, self.offset_d, self.range_d,
+            self.size_u, self.size_v,
+        )
 
     def write(self, bw: BitWriter) -> None:
         bw.ue(self.pos_x)
@@ -196,12 +216,47 @@ class AtlasTileLayer:
     raw_positions: Optional[np.ndarray] = None  # (R, 3) int32
     raw_colors: Optional[np.ndarray] = None     # (R, 3) uint8
     geometry_bits: int = 10
+    tile_type: int = TILE_I
+    ref_patches: Optional[List[PatchDataUnit]] = None  # prev tile (P-tiles)
+
+    def _patch_mode(self, p: PatchDataUnit) -> int:
+        """SKIP if the matched reference predicts every field exactly;
+        INTER if at least projection+orientation carry over; else INTRA
+        (reference patch modes P_SKIP/P_INTER/P_INTRA,
+        PCCBitstreamCommon.h:194-211, decoded at PCCDecoder.cpp:829-1213)."""
+        if (
+            self.tile_type != TILE_P
+            or p.ref_index < 0
+            or self.ref_patches is None
+            or p.ref_index >= len(self.ref_patches)
+        ):
+            return PATCH_INTRA
+        q = self.ref_patches[p.ref_index]
+        if q.projection_id != p.projection_id or q.orientation != p.orientation:
+            return PATCH_INTRA
+        return PATCH_SKIP if q.fields() == p.fields() else PATCH_INTER
 
     def write(self, bw: BitWriter) -> None:
         bw.ue(self.frame_index)
+        bw.u(1, self.tile_type)
         bw.ue(len(self.patches))
+        expected_ref = 0
         for p in self.patches:
-            p.write(bw)
+            if self.tile_type == TILE_I:
+                p.write(bw)
+                continue
+            mode = self._patch_mode(p)
+            bw.ue(mode)
+            if mode == PATCH_INTRA:
+                p.write(bw)
+                continue
+            bw.se(p.ref_index - expected_ref)
+            expected_ref = p.ref_index + 1
+            if mode == PATCH_SKIP:
+                continue
+            q = self.ref_patches[p.ref_index]
+            for a, b in zip(p.fields(), q.fields()):
+                bw.se(a - b)
         nraw = 0 if self.raw_positions is None else len(self.raw_positions)
         bw.ue(nraw)
         if nraw:
@@ -231,11 +286,34 @@ class AtlasTileLayer:
         bw.byte_align()
 
     @classmethod
-    def read(cls, br: BitReader) -> "AtlasTileLayer":
+    def read(cls, br: BitReader, ref_patches=None) -> "AtlasTileLayer":
         t = cls()
         t.frame_index = br.ue()
+        t.tile_type = br.u(1)
         n = br.ue()
-        t.patches = [PatchDataUnit.read(br) for _ in range(n)]
+        t.patches = []
+        expected_ref = 0
+        for _ in range(n):
+            if t.tile_type == TILE_I:
+                t.patches.append(PatchDataUnit.read(br))
+                continue
+            mode = br.ue()
+            if mode == PATCH_INTRA:
+                t.patches.append(PatchDataUnit.read(br))
+                continue
+            ref_idx = expected_ref + br.se()
+            expected_ref = ref_idx + 1
+            q = ref_patches[ref_idx]
+            p = PatchDataUnit(
+                projection_id=q.projection_id, orientation=q.orientation,
+                ref_index=ref_idx,
+            )
+            vals = list(q.fields())
+            if mode == PATCH_INTER:
+                vals = [v + br.se() for v in vals]
+            (p.pos_x, p.pos_y, p.size_x_m1, p.size_y_m1, p.offset_u,
+             p.offset_v, p.offset_d, p.range_d, p.size_u, p.size_v) = vals
+            t.patches.append(p)
         nraw = br.ue()
         if nraw:
             from vpcc_tpu.video import entropy

@@ -87,6 +87,9 @@ def match_patches(patches: List[Patch], prev_patches: List[Patch], iou_threshold
             used.add(best)
             q = prev_patches[best]
             p.pref_u0, p.pref_v0, p.pref_orientation = q.u0, q.v0, q.orientation
+            # temporal prediction link for the atlas P-tile syntax (the
+            # previous tile's PDU order == prev_patches order)
+            p.ref_patch_idx = best
             matched += 1
     return matched
 

@@ -70,6 +70,9 @@ class Patch:
     pref_u0: int = -1
     pref_v0: int = -1
     pref_orientation: int = -1
+    # matched patch's index in the previous frame's tile (P-tile inter
+    # patch prediction; reference PCCDecoder.cpp:829-1213)
+    ref_patch_idx: int = -1
 
     def __post_init__(self):
         res = self.occupancy_resolution

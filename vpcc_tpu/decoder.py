@@ -72,11 +72,14 @@ class Decoder:
             if utype == v3c.V3C_VPS:
                 vps = v3c.V3CParameterSet.read(br)
             elif utype == v3c.V3C_AD:
-                while br.more_data():
-                    t = v3c.AtlasTileLayer.read(br)
-                    if not t.patches and br.position >= len(payload):
-                        break
+                # exactly frame_count tiles (VPS precedes AD in the sample
+                # stream); P-tiles predict patches from the previous tile
+                assert vps is not None, "VPS must precede atlas data"
+                prev = None
+                for _ in range(vps.frame_count):
+                    t = v3c.AtlasTileLayer.read(br, ref_patches=prev)
                     tiles.append(t)
+                    prev = t.patches
             elif utype == v3c.V3C_OVD:
                 occ_sub = v3c.VideoSubstream.read(br)
             elif utype == v3c.V3C_GVD:

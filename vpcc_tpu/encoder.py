@@ -217,7 +217,13 @@ class Encoder:
         t = time.perf_counter()
         if prev_patches and cfg.constrainedPack:
             packing.match_patches(patches, prev_patches)
-        width, height = packing.pack_flexible(patches, cfg)
+        # height ratchet: reuse the largest height seen so far in this GOF so
+        # consecutive frames share one atlas shape (keeps every downstream
+        # shape-specialized XLA program cached; heights are 256-bucketed)
+        width, height = packing.pack_flexible(
+            patches, cfg, preset_height=getattr(self, "_height_hint", 0)
+        )
+        self._height_hint = max(getattr(self, "_height_hint", 0), height)
         frame = atlas_mod.rasterize_frame(patches, width, height, cfg)
         st.packing_s = time.perf_counter() - t
 
@@ -386,17 +392,24 @@ class Encoder:
         vps.write(bw)
         units = [(v3c.V3C_VPS, bw.getvalue())]
 
-        # atlas data: one tile layer per frame
+        # atlas data: one tile layer per frame; frames 1..N are P-tiles
+        # predicting matched patches from the previous tile (reference
+        # inter/merge/skip patch modes, PCCDecoder.cpp:750-1213)
         bw = BitWriter()
+        prev_pdus = None
         for fi, e in enumerate(encoded):
+            pdus = [_patch_to_pdu(p, cfg) for p in e.patches]
             tile = v3c.AtlasTileLayer(
                 frame_index=fi,
-                patches=[_patch_to_pdu(p, cfg) for p in e.patches],
+                patches=pdus,
                 raw_positions=e.raw_positions,
                 raw_colors=e.raw_colors,
                 geometry_bits=cfg.geometryBitDepth3D,
+                tile_type=v3c.TILE_I if prev_pdus is None else v3c.TILE_P,
+                ref_patches=prev_pdus,
             )
             tile.write(bw)
+            prev_pdus = pdus
         units.append((v3c.V3C_AD, bw.getvalue()))
 
         # frame dims per frame (padded to common size on decode)
@@ -432,4 +445,5 @@ def _patch_to_pdu(p: Patch, cfg: VPCCConfig) -> v3c.PatchDataUnit:
         orientation=p.orientation,
         size_u=p.size_u,
         size_v=p.size_v,
+        ref_index=p.ref_patch_idx,
     )
