@@ -1,60 +1,118 @@
-"""Benchmark: V-PCC encode throughput on a vox10-class frame (real device).
+"""Benchmark: V-PCC rate-distortion + encode throughput on a vox10-class
+GOF (real device).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+- value/vs_baseline: encode frames/s/chip at CTC r3 against the documented
+  TMC2 single-thread anchor (see ANCHOR.md for the derivation; the anchor
+  is pinned at the optimistic end of the documented range so vs_baseline
+  understates the speedup).
+- detail.rd_curve: (bpp, D1, D2, Y/U/V) per CTC rate point r1..r5 — D2 is
+  a true point-to-plane PSNR (PCA source normals, NN-transferred to the
+  reconstruction).
+- detail.stages: per-stage encoder seconds (EncoderStats) at r3.
 
-Baseline anchor: the reference TMC2 (CPU, nbThread=1, CTC all-intra r3 on
-longdress_vox10) encodes at roughly 60 s/frame — wall-clock is dominated by
-the external HM encoder's RDO (SURVEY.md §3.1 "HOTTEST"), with segmentation/
-packing adding ~15-30 s/frame.  The CTC datasets are not redistributable, so
-the bench uses a deterministic synthetic vox10 surface with matched point
-count (~750k); BASELINE.md records the protocol.
+The CTC datasets are not redistributable, so the bench uses a deterministic
+synthetic person-shaped vox10 surface with a CTC-class point count (~600k);
+BASELINE.md records the protocol, ANCHOR.md the anchor derivation.
 """
 
+import dataclasses
 import json
-import sys
 import time
 
-TMC2_SECONDS_PER_FRAME = 60.0  # single-thread anchor estimate (see docstring)
+TMC2_SECONDS_PER_FRAME = 60.0  # documented single-thread anchor (ANCHOR.md)
+
+RATE_CFGS = {
+    "r1": "/root/reference/cfg/rate/ctc-r1.cfg",
+    "r2": "/root/reference/cfg/rate/ctc-r2.cfg",
+    "r3": "/root/reference/cfg/rate/ctc-r3.cfg",
+    "r4": "/root/reference/cfg/rate/ctc-r4.cfg",
+    "r5": "/root/reference/cfg/rate/ctc-r5.cfg",
+}
 
 
-def main():
-    from vpcc_tpu.encoder import Encoder
+def _make_cfg(rate_cfg: str):
     from vpcc_tpu.utils.config import VPCCConfig
-    from vpcc_tpu.utils.synthetic import make_person_cloud
 
     cfg = VPCCConfig.from_cfg_files(
-        "/root/reference/cfg/common/ctc-common.cfg",
-        "/root/reference/cfg/rate/ctc-r3.cfg",
+        "/root/reference/cfg/common/ctc-common.cfg", rate_cfg
     )
     cfg.geometry3dCoordinatesBitdepth = 10
     cfg.resolution = 1023
     cfg.iterationCountRefineSegmentation = 10
+    # voxelized segmentation (reference convertPointsToVoxels) — the
+    # reference's own perf answer for ~1M-point frames
+    cfg.gridBasedSegmentation = 1
+    return cfg
+
+
+def main():
+    from vpcc_tpu.encoder import Encoder
+    from vpcc_tpu.ops.metrics import compute_metrics, estimate_normals
+    from vpcc_tpu.utils.synthetic import make_person_cloud
 
     frames = [make_person_cloud(bits=10, n_samples=3_000_000, seed=s) for s in (7, 8)]
     npts = sum(f.point_count for f in frames) / len(frames)
+    src_normals = [
+        estimate_normals(f.positions.astype("int32"), grid_bits=10) for f in frames
+    ]
 
-    enc = Encoder(cfg)
-    # warmup (compile)
-    enc.encode_frame(frames[0])
+    rd_curve = []
+    fps_r3 = 0.0
+    stages = {}
+    for rate, rate_cfg in RATE_CFGS.items():
+        cfg = _make_cfg(rate_cfg)
+        enc = Encoder(cfg)
+        if rate == "r1":
+            enc.encode_frame(frames[0])  # compile warmup (persistent cache)
+            enc.stats.clear()
+            enc._height_hint = 0
+        t0 = time.perf_counter()
+        stream, recons = enc.encode_gof(frames)
+        dt = time.perf_counter() - t0
+        bpp = len(stream) * 8 / (npts * len(frames))
+        ms = []
+        for src, nrm, rec in zip(frames, src_normals, recons):
+            ms.append(
+                compute_metrics(
+                    src.positions.astype("int32"), src.colors,
+                    rec.positions.astype("int32"), rec.colors,
+                    resolution=1023, src_normals=nrm, grid_bits=10,
+                )
+            )
+        point = {
+            "rate": rate,
+            "bpp": round(bpp, 4),
+            "d1_db": round(sum(m.c2c_psnr for m in ms) / len(ms), 2),
+            "d2_db": round(sum(m.c2p_psnr for m in ms) / len(ms), 2),
+            "y_db": round(sum(m.color_psnr[0] for m in ms) / len(ms), 2),
+            "u_db": round(sum(m.color_psnr[1] for m in ms) / len(ms), 2),
+            "v_db": round(sum(m.color_psnr[2] for m in ms) / len(ms), 2),
+            "enc_s_per_frame": round(dt / len(frames), 3),
+        }
+        rd_curve.append(point)
+        if rate == "r3":
+            fps_r3 = len(frames) / dt
+            agg = {}
+            for s in enc.stats[-len(frames):]:
+                for k, v in dataclasses.asdict(s).items():
+                    if k.endswith("_s"):
+                        agg[k] = round(agg.get(k, 0.0) + v / len(frames), 3)
+            stages = agg
 
-    t0 = time.perf_counter()
-    stream, recons = enc.encode_gof(frames)
-    dt = time.perf_counter() - t0
-    fps = len(frames) / dt
-
-    bpp = len(stream) * 8 / (npts * len(frames))
-    vs = fps / (1.0 / TMC2_SECONDS_PER_FRAME)
+    vs = fps_r3 / (1.0 / TMC2_SECONDS_PER_FRAME)
     print(
         json.dumps(
             {
-                "metric": "vpcc_encode_fps_vox10",
-                "value": round(fps, 4),
+                "metric": "vpcc_encode_fps_vox10_r3",
+                "value": round(fps_r3, 4),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(vs, 2),
                 "detail": {
                     "points_per_frame": int(npts),
-                    "seconds_per_frame": round(dt / len(frames), 3),
-                    "bits_per_point": round(bpp, 3),
+                    "anchor": "TMC2 1-thread 60 s/frame (documented, ANCHOR.md)",
+                    "rd_curve": rd_curve,
+                    "stages_r3": stages,
                 },
             }
         )

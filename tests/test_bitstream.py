@@ -121,3 +121,57 @@ def test_p_tile_patch_prediction_rate():
         assert a.fields() == b.fields()
         assert a.projection_id == b.projection_id
         assert a.orientation == b.orientation
+
+
+def test_nal_atlas_substream_roundtrip_and_hash_sei():
+    """NAL-framed atlas substream (ASPS/AFPS/ATL/suffix-SEI): round trip
+    preserves parameter sets + patches, and the decoded-atlas-information
+    hash SEI verifies (reference: PCCEncoder.cpp:8614, PCCDecoder.cpp:1214)."""
+    from vpcc_tpu.bitstream import v3c
+
+    rng = np.random.default_rng(5)
+    def mk(n, link):
+        out = []
+        for i in range(n):
+            out.append(v3c.PatchDataUnit(
+                pos_x=int(rng.integers(0, 60)), pos_y=int(rng.integers(0, 60)),
+                size_x_m1=int(rng.integers(0, 20)), size_y_m1=int(rng.integers(0, 20)),
+                offset_u=int(rng.integers(0, 500)), offset_v=int(rng.integers(0, 500)),
+                offset_d=int(rng.integers(0, 10)), range_d=int(rng.integers(0, 4)),
+                projection_id=int(rng.integers(0, 6)), orientation=int(rng.integers(0, 8)),
+                size_u=int(rng.integers(1, 300)), size_v=int(rng.integers(1, 300)),
+                ref_index=i if link else -1,
+            ))
+        return out
+
+    p0 = mk(25, False)
+    import dataclasses as dc
+    p1 = [dc.replace(q, ref_index=i) for i, q in enumerate(p0)]
+    tiles = [
+        v3c.AtlasTileLayer(frame_index=0, patches=p0),
+        v3c.AtlasTileLayer(frame_index=1, patches=p1, tile_type=v3c.TILE_P,
+                           ref_patches=p0),
+    ]
+    asps = v3c.AtlasSequenceParameterSet(frame_width=1280, frame_height=1536,
+                                         geometry_3d_bitdepth_minus1=9)
+    afps = v3c.AtlasFrameParameterSet()
+    payload = v3c.write_atlas_substream(tiles, asps, afps)
+    a2, f2, t2, hash_ok = v3c.read_atlas_substream(payload)
+    assert a2.frame_width == 1280 and a2.frame_height == 1536
+    assert a2.geometry_3d_bitdepth_minus1 == 9
+    assert len(t2) == 2 and hash_ok == [True, True]
+    for ta, tb in zip(t2, tiles):
+        for a, b in zip(ta.patches, tb.patches):
+            assert a.fields() == b.fields()
+    # corrupt one patch field -> the hash SEI must catch it
+    bad = bytearray(payload)
+    # flip a bit inside the first ATL NAL payload (after ASPS+AFPS units)
+    import struct as _s
+    pos = 0
+    for _ in range(2):  # skip ASPS, AFPS
+        ln = _s.unpack(">I", bad[pos:pos+4])[0]
+        pos += 4 + ln
+    ln = _s.unpack(">I", bad[pos:pos+4])[0]
+    bad[pos + 4 + 10] ^= 0x10
+    a3, f3, t3, hash_ok3 = v3c.read_atlas_substream(bytes(bad))
+    assert not all(hash_ok3)

@@ -168,3 +168,27 @@ def test_random_access_gof_inter_coding():
         resolution=127, grid_bits=7,
     )
     assert m.c2c_psnr > 30.0, m.summary()
+
+
+def test_grid_based_segmentation_roundtrip():
+    """Voxelized segmentation (reference convertPointsToVoxels,
+    PCCPatchSegmenter.cpp:152): quality within tolerance of the full-res
+    path, and encoder/decoder parity holds."""
+    cfg = small_cfg(geometryQP=22, attributeQP=30)
+    cfg.gridBasedSegmentation = 1
+    src = make_sphere_cloud(bits=7, n_samples=25000)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof([src])
+    decoded = Decoder().decode(stream)
+    m = compute_metrics(
+        src.positions.astype(np.int32), src.colors,
+        decoded[0].positions.astype(np.int32), decoded[0].colors,
+        resolution=127, grid_bits=7,
+    )
+    assert m.c2c_psnr > 40.0, m.summary()
+    assert m.color_psnr[0] > 30.0, m.summary()
+    a, b = recons[0], decoded[0]
+    assert a.point_count == b.point_count
+    ka = np.lexsort(a.positions.T)
+    kb = np.lexsort(b.positions.T)
+    np.testing.assert_array_equal(a.positions[ka], b.positions[kb])

@@ -70,6 +70,7 @@ def main(argv=None) -> int:
                     rec.positions.astype(np.int32), rec.colors,
                     resolution=cfg.resolution,
                     grid_bits=cfg.geometryBitDepth3D,
+                    with_d2=True,
                 )
                 print(f"frame {fidx + i}: {m.summary()}")
         done += count

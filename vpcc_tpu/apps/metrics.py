@@ -41,6 +41,7 @@ def main(argv=None) -> int:
             resolution=cfg.resolution,
             src_normals=nrm,
             grid_bits=cfg.geometryBitDepth3D,
+            with_d2=True,
         )
         print(f"frame {i}: {m.summary()}")
         agg.append(m)

@@ -30,6 +30,17 @@ V3C_OVD = 2
 V3C_GVD = 3
 V3C_AVD = 4
 
+# atlas NAL unit types (ISO/IEC 23090-5 Table 4 subset; reference:
+# PCCBitstreamCommon.h NalUnitType)
+NAL_TRAIL_N = 0        # non-IDR atlas tile layer
+NAL_IDR_N_LP = 20      # IDR atlas tile layer
+NAL_ASPS = 36          # atlas sequence parameter set
+NAL_AFPS = 37          # atlas frame parameter set
+NAL_SUFFIX_NSEI = 50   # non-essential suffix SEI
+
+# SEI payload types (reference: PCCSei.h enum SeiPayloadType)
+SEI_DECODED_ATLAS_INFORMATION_HASH = 21
+
 # codec ids for the video payloads
 CODEC_LOSSLESS_ZLIB = 0    # host zlib (bring-up / lossless fallback)
 CODEC_TPU_INTRA = 1        # TPU-native DCT+DC-DPCM codec (legacy, round 1)
@@ -334,6 +345,157 @@ class AtlasTileLayer:
                 t.raw_colors = np.cumsum(cdel, axis=0).astype(np.uint8)
         br.byte_align()
         return t
+
+
+@dataclasses.dataclass
+class AtlasSequenceParameterSet:
+    """ASPS (reference: AtlasSequenceParameterSetRbsp, written at
+    PCCBitstreamWriter.cpp atlasSequenceParameterSetRbsp)."""
+
+    asps_id: int = 0
+    frame_width: int = 0
+    frame_height: int = 0
+    log2_patch_packing_block_size: int = 4  # occupancyResolution = 16
+    geometry_3d_bitdepth_minus1: int = 9
+    geometry_2d_bitdepth_minus1: int = 7
+    map_count_minus1: int = 1
+    eom_patch_enabled_flag: int = 0
+    plr_enabled_flag: int = 0
+    extended_projection_enabled_flag: int = 0  # 45-degree planes
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(self.asps_id)
+        bw.u(16, self.frame_width)
+        bw.u(16, self.frame_height)
+        bw.u(3, self.log2_patch_packing_block_size)
+        bw.u(5, self.geometry_3d_bitdepth_minus1)
+        bw.u(5, self.geometry_2d_bitdepth_minus1)
+        bw.u(4, self.map_count_minus1)
+        bw.u(1, self.eom_patch_enabled_flag)
+        bw.u(1, self.plr_enabled_flag)
+        bw.u(1, self.extended_projection_enabled_flag)
+        bw.byte_align()
+
+    @classmethod
+    def read(cls, br: BitReader) -> "AtlasSequenceParameterSet":
+        a = cls()
+        a.asps_id = br.ue()
+        a.frame_width = br.u(16)
+        a.frame_height = br.u(16)
+        a.log2_patch_packing_block_size = br.u(3)
+        a.geometry_3d_bitdepth_minus1 = br.u(5)
+        a.geometry_2d_bitdepth_minus1 = br.u(5)
+        a.map_count_minus1 = br.u(4)
+        a.eom_patch_enabled_flag = br.u(1)
+        a.plr_enabled_flag = br.u(1)
+        a.extended_projection_enabled_flag = br.u(1)
+        br.byte_align()
+        return a
+
+
+@dataclasses.dataclass
+class AtlasFrameParameterSet:
+    """AFPS (reference: AtlasFrameParameterSetRbsp + tile information)."""
+
+    afps_id: int = 0
+    asps_id: int = 0
+    num_tiles_minus1: int = 0
+    output_flag_present: int = 0
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(self.afps_id)
+        bw.ue(self.asps_id)
+        bw.ue(self.num_tiles_minus1)
+        bw.u(1, self.output_flag_present)
+        bw.byte_align()
+
+    @classmethod
+    def read(cls, br: BitReader) -> "AtlasFrameParameterSet":
+        a = cls()
+        a.afps_id = br.ue()
+        a.asps_id = br.ue()
+        a.num_tiles_minus1 = br.ue()
+        a.output_flag_present = br.u(1)
+        br.byte_align()
+        return a
+
+
+def patch_list_hash(patches: List[PatchDataUnit]) -> bytes:
+    """MD5 over the canonical decoded patch parameters of one frame — the
+    payload of our decoded-atlas-information-hash SEI (reference:
+    SeiDecodedAtlasInformationHash, created at PCCEncoder.cpp:8614 and
+    verified at PCCDecoder.cpp:1214)."""
+    import hashlib
+    import struct as _s
+
+    h = hashlib.md5()
+    for p in patches:
+        h.update(_s.pack("<12i", *p.fields(), p.projection_id, p.orientation))
+    return h.digest()
+
+
+def _write_nal(bw: BitWriter, nal_type: int, payload: bytes) -> None:
+    unit = bytes([nal_type << 1 & 0xFF, 0]) + payload  # 2-byte NAL header
+    bw.u(32, len(unit))
+    bw.bytes_(unit)
+
+
+def write_atlas_substream(
+    tiles: List[AtlasTileLayer],
+    asps: AtlasSequenceParameterSet,
+    afps: AtlasFrameParameterSet,
+) -> bytes:
+    """NAL-unit atlas substream: ASPS, AFPS, then per frame an ATL NAL
+    (IDR for frame 0) and a suffix SEI with the decoded-atlas-info hash
+    (reference: PCCBitstreamWriter::atlasSubStream, PCCBitstreamWriter.cpp:348)."""
+    bw = BitWriter()
+    b = BitWriter()
+    asps.write(b)
+    _write_nal(bw, NAL_ASPS, b.getvalue())
+    b = BitWriter()
+    afps.write(b)
+    _write_nal(bw, NAL_AFPS, b.getvalue())
+    for fi, t in enumerate(tiles):
+        b = BitWriter()
+        t.write(b)
+        _write_nal(bw, NAL_IDR_N_LP if fi == 0 else NAL_TRAIL_N, b.getvalue())
+        sei = BitWriter()
+        sei.u(8, SEI_DECODED_ATLAS_INFORMATION_HASH)
+        sei.u(8, 16)  # payload size: md5
+        sei.bytes_(patch_list_hash(t.patches))
+        _write_nal(bw, NAL_SUFFIX_NSEI, sei.getvalue())
+    return bw.getvalue()
+
+
+def read_atlas_substream(payload: bytes):
+    """Returns (asps, afps, tiles, hash_ok: List[bool]).  Verifies each
+    frame's decoded-atlas-information-hash SEI against the parsed patches
+    (reference: PCCDecoder.cpp:1214)."""
+    br = BitReader(payload)
+    asps = afps = None
+    tiles: List[AtlasTileLayer] = []
+    hash_ok: List[bool] = []
+    prev = None
+    while br.more_data():
+        ln = br.u(32)
+        unit = br.bytes_(ln)
+        nal_type = unit[0] >> 1
+        body = BitReader(unit[2:])
+        if nal_type == NAL_ASPS:
+            asps = AtlasSequenceParameterSet.read(body)
+        elif nal_type == NAL_AFPS:
+            afps = AtlasFrameParameterSet.read(body)
+        elif nal_type in (NAL_IDR_N_LP, NAL_TRAIL_N):
+            t = AtlasTileLayer.read(body, ref_patches=prev)
+            tiles.append(t)
+            prev = t.patches
+        elif nal_type == NAL_SUFFIX_NSEI:
+            ptype = body.u(8)
+            size = body.u(8)
+            data = body.bytes_(size)
+            if ptype == SEI_DECODED_ATLAS_INFORMATION_HASH and tiles:
+                hash_ok.append(data == patch_list_hash(tiles[-1].patches))
+    return asps, afps, tiles, hash_ok
 
 
 @dataclasses.dataclass

@@ -72,14 +72,16 @@ class Decoder:
             if utype == v3c.V3C_VPS:
                 vps = v3c.V3CParameterSet.read(br)
             elif utype == v3c.V3C_AD:
-                # exactly frame_count tiles (VPS precedes AD in the sample
-                # stream); P-tiles predict patches from the previous tile
-                assert vps is not None, "VPS must precede atlas data"
-                prev = None
-                for _ in range(vps.frame_count):
-                    t = v3c.AtlasTileLayer.read(br, ref_patches=prev)
-                    tiles.append(t)
-                    prev = t.patches
+                # NAL-framed atlas substream: ASPS/AFPS/ATLs + hash SEIs;
+                # the decoded-atlas-information-hash of every frame is
+                # verified against the parsed patches (PCCDecoder.cpp:1214)
+                asps, afps, tiles, hash_ok = v3c.read_atlas_substream(payload)
+                self.atlas_hash_ok = hash_ok
+                if not all(hash_ok):
+                    raise ValueError(
+                        "decoded-atlas-information-hash SEI mismatch "
+                        f"(frames: {[i for i, ok in enumerate(hash_ok) if not ok]})"
+                    )
             elif utype == v3c.V3C_OVD:
                 occ_sub = v3c.VideoSubstream.read(br)
             elif utype == v3c.V3C_GVD:

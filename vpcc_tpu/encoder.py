@@ -27,7 +27,7 @@ from vpcc_tpu.core import packing
 from vpcc_tpu.core.patch import Patch, build_patch_from_component
 from vpcc_tpu.core.pointcloud import PAD_COORD, from_host, shape_bucket
 from vpcc_tpu.ops import cc as cc_mod
-from vpcc_tpu.ops import neighbors, normals as normals_mod, recolor
+from vpcc_tpu.ops import neighbors, normals as normals_mod, recolor, voxelize
 from vpcc_tpu.ops.segmentation import (
     get_orientations,
     initial_segmentation,
@@ -77,18 +77,34 @@ class Encoder:
         opaque futures (jax arrays).  Consumed by `segment_fetch`.  Because
         jax dispatch is async, the device crunches frame i+1's segmentation
         while the host runs frame i's patch generation/packing/entropy —
-        free cross-frame pipelining."""
+        free cross-frame pipelining.
+
+        With gridBasedSegmentation (reference convertPointsToVoxels,
+        PCCPatchSegmenter.cpp:152), normals / initial+refine segmentation /
+        the CC graph all run on the ~4x smaller voxel cloud; per-voxel
+        results are gathered back to points."""
         cfg = self.cfg
         n = pc_host.point_count
         pc = from_host(pc_host)
         bits = cfg.geometryBitDepth3D
-        grid = neighbors.build_grid(pc.positions, bits)
+        shift = 0
+        if cfg.gridBasedSegmentation:
+            shift = max(int(cfg.voxelDimensionGridBasedSegmentation).bit_length() - 1, 1)
+        point_vox = None
+        positions = pc.positions
+        if shift:
+            point_vox, vox_pos_full, nvox = voxelize.voxelize(
+                pc.positions, shift, bits
+            )
+            vcap = shape_bucket(int(nvox))  # one tiny blocking scalar
+            positions = vox_pos_full[:vcap]
+        grid = neighbors.build_grid(positions, bits)
         k = max(cfg.maxNNCountPatchSegmentation, cfg.nnNormalEstimation)
-        nn_idx, nn_d2 = neighbors.knn(grid, pc.positions, pc.positions, k=k, bucket=12)
-        valid_rows = pc.valid_mask()
+        nn_idx, nn_d2 = neighbors.knn(grid, positions, positions, k=k, bucket=12)
+        valid_rows = positions[:, 0] != PAD_COORD
         nn_valid = (nn_d2 < neighbors.MAX_DIST2) & valid_rows[:, None]
 
-        nrm = normals_mod.compute_normals(pc.positions, nn_idx, nn_valid, valid_rows)
+        nrm = normals_mod.compute_normals(positions, nn_idx, nn_valid, valid_rows)
         orients = jnp.asarray(get_orientations(cfg.additionalProjectionPlaneMode))
         nw = np.ones(orients.shape[0], np.float32)
         nw[0] = nw[3] = cfg.weightNormalX
@@ -99,15 +115,16 @@ class Encoder:
             nrm, part, nn_idx, nn_valid, orients,
             cfg.lambdaRefineSegmentation, cfg.iterationCountRefineSegmentation,
         )
-        return part, nn_idx, nn_valid, n
+        part_pt = voxelize.gather_point_values(part, point_vox) if shift else part
+        return part_pt, part, nn_idx, nn_valid, point_vox, n
 
     @staticmethod
     def segment_fetch(futures):
         """Download ONLY the (N,) partition labels; the (N, K) neighbor
         graph stays on device (it feeds the device CC; at CTC point counts
         it is ~50 MB and the tunnel moves ~10-40 MB/s)."""
-        part, nn_idx, nn_valid, n = futures
-        return np.asarray(part)[:n], (part, nn_idx, nn_valid), n
+        part_pt, part, nn_idx, nn_valid, point_vox, n = futures
+        return np.asarray(part_pt)[:n], (part, nn_idx, nn_valid, point_vox), n
 
     def segment(self, pc_host: PointCloudData):
         """Synchronous segmentation (dispatch + fetch)."""
@@ -125,8 +142,9 @@ class Encoder:
         DEVICE (ops/cc.py cc_labels_device); only the (N,) label vector is
         downloaded per round."""
         cfg = self.cfg
-        part_dev, nn_idx_dev, nn_valid_dev = dev_graph
-        cap = int(nn_idx_dev.shape[0])
+        part_dev, nn_idx_dev, nn_valid_dev, point_vox = dev_graph
+        vcap = int(nn_idx_dev.shape[0])
+        cap = vcap if point_vox is None else int(point_vox.shape[0])
         positions = np.asarray(pc_host.positions, np.int32)
         colors = (
             pc_host.colors
@@ -142,10 +160,21 @@ class Encoder:
             if not seeds.any():
                 break
             act_dev = jnp.asarray(np.pad(active, (0, cap - n)))
-            labels = cc_mod.cc_labels_device(nn_idx_dev, nn_valid_dev, part_dev, act_dev)
+            if point_vox is not None:
+                # voxel-graph CC: a voxel is active if any of its points is
+                act_vox = voxelize.scatter_any(point_vox, act_dev, vcap)
+                labels_v = cc_mod.cc_labels_device(
+                    nn_idx_dev, nn_valid_dev, part_dev, act_vox
+                )
+                labels = voxelize.gather_point_values(labels_v, point_vox)
+            else:
+                labels = cc_mod.cc_labels_device(
+                    nn_idx_dev, nn_valid_dev, part_dev, act_dev
+                )
             comps = cc_mod.components_from_labels(
                 np.asarray(labels)[:n], seeds,
                 cfg.minPointCountPerCCPatchSegmentation,
+                sentinel=vcap,
             )
             if not comps:
                 break
@@ -392,14 +421,15 @@ class Encoder:
         vps.write(bw)
         units = [(v3c.V3C_VPS, bw.getvalue())]
 
-        # atlas data: one tile layer per frame; frames 1..N are P-tiles
-        # predicting matched patches from the previous tile (reference
-        # inter/merge/skip patch modes, PCCDecoder.cpp:750-1213)
-        bw = BitWriter()
+        # atlas data: NAL-framed substream (ASPS, AFPS, per-frame ATL +
+        # hash SEI).  Frames 1..N are P-tiles predicting matched patches
+        # from the previous tile (reference inter/merge/skip patch modes,
+        # PCCDecoder.cpp:750-1213; NAL assembly PCCBitstreamWriter.cpp:348)
+        tiles = []
         prev_pdus = None
         for fi, e in enumerate(encoded):
             pdus = [_patch_to_pdu(p, cfg) for p in e.patches]
-            tile = v3c.AtlasTileLayer(
+            tiles.append(v3c.AtlasTileLayer(
                 frame_index=fi,
                 patches=pdus,
                 raw_positions=e.raw_positions,
@@ -407,10 +437,18 @@ class Encoder:
                 geometry_bits=cfg.geometryBitDepth3D,
                 tile_type=v3c.TILE_I if prev_pdus is None else v3c.TILE_P,
                 ref_patches=prev_pdus,
-            )
-            tile.write(bw)
+            ))
             prev_pdus = pdus
-        units.append((v3c.V3C_AD, bw.getvalue()))
+        asps = v3c.AtlasSequenceParameterSet(
+            frame_width=width,
+            frame_height=height,
+            log2_patch_packing_block_size=cfg.occupancyResolution.bit_length() - 1,
+            geometry_3d_bitdepth_minus1=cfg.geometryBitDepth3D - 1,
+            geometry_2d_bitdepth_minus1=cfg.geometryBitDepth2D - 1,
+            map_count_minus1=cfg.mapCountMinus1,
+        )
+        afps = v3c.AtlasFrameParameterSet()
+        units.append((v3c.V3C_AD, v3c.write_atlas_substream(tiles, asps, afps)))
 
         # frame dims per frame (padded to common size on decode)
         for unit_type, payload_lists in (

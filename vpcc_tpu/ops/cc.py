@@ -93,14 +93,17 @@ def cc_labels_device(
 
 
 def components_from_labels(
-    labels: np.ndarray,   # (N,) int32 from cc_labels_device (N = inactive)
+    labels: np.ndarray,   # (N,) int32 from cc_labels_device
     seeds: np.ndarray,    # (N,) bool
     min_size: int,
+    sentinel: "int | None" = None,
 ) -> List[np.ndarray]:
     """Group labeled points into components >= min_size containing a seed,
-    sorted descending by size (host; cheap numpy passes only)."""
+    sorted descending by size (host; cheap numpy passes only).  `sentinel`
+    is the inactive label (defaults to N; the voxel-graph path passes the
+    voxel capacity)."""
     n = labels.shape[0]
-    act = labels < n
+    act = labels < (n if sentinel is None else sentinel)
     uniq, inv = np.unique(labels[act], return_inverse=True)
     sizes = np.bincount(inv, minlength=len(uniq))
     has_seed = np.zeros(len(uniq), bool)

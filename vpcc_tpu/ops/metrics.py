@@ -102,6 +102,48 @@ def _directional(
     return mse_c2c, mse_c2p, mse_col, haus
 
 
+def estimate_normals(pos: np.ndarray, grid_bits: int, k: int = 16) -> np.ndarray:
+    """PCA normals for a host cloud (used when the caller has no normals so
+    D2 is a real point-to-plane number; reference feeds normals from
+    PccAppNormalGenerator, PCCMetrics.cpp:361)."""
+    from vpcc_tpu.core.pointcloud import PAD_COORD, shape_bucket
+    from vpcc_tpu.ops import normals as normals_mod
+
+    n = pos.shape[0]
+    cap = shape_bucket(n)
+    p = np.full((cap, 3), PAD_COORD, np.int32)
+    p[:n] = pos
+    pd = jnp.asarray(p)
+    grid = neighbors.build_grid(pd, grid_bits)
+    nn_idx, nn_d2 = neighbors.knn(grid, pd, pd, k=k, bucket=12)
+    valid_rows = jnp.arange(cap) < n
+    nn_valid = (nn_d2 < neighbors.MAX_DIST2) & valid_rows[:, None]
+    nrm = normals_mod.compute_normals(pd, nn_idx, nn_valid, valid_rows)
+    return np.asarray(nrm)[:n]
+
+
+def transfer_normals(
+    src_pos: np.ndarray, src_normals: np.ndarray, dst_pos: np.ndarray,
+    grid_bits: int,
+) -> np.ndarray:
+    """Nearest-neighbor normal transfer source -> reconstructed cloud (the
+    reference metric evaluates point-to-plane against the original surface
+    normals on both directions)."""
+    from vpcc_tpu.core.pointcloud import PAD_COORD, shape_bucket
+
+    ns, nd = src_pos.shape[0], dst_pos.shape[0]
+    cs, cd = shape_bucket(ns), shape_bucket(nd)
+    ps = np.full((cs, 3), PAD_COORD, np.int32)
+    ps[:ns] = src_pos
+    pd = np.full((cd, 3), PAD_COORD, np.int32)
+    pd[:nd] = dst_pos
+    ps_d = jnp.asarray(ps)
+    grid = neighbors.build_grid(ps_d, grid_bits)
+    idx, _ = neighbors.nearest(grid, ps_d, jnp.asarray(pd))
+    idx = np.clip(np.asarray(idx)[:nd], 0, ns - 1)
+    return src_normals[idx]
+
+
 def compute_metrics(
     src_pos: np.ndarray,
     src_col: Optional[np.ndarray],
@@ -111,10 +153,19 @@ def compute_metrics(
     src_normals: Optional[np.ndarray] = None,
     rec_normals: Optional[np.ndarray] = None,
     grid_bits: int = 10,
+    with_d2: bool = False,
 ) -> FrameMetrics:
     """Symmetric metrics between source and reconstructed clouds (host API,
-    device compute). Positions (N,3) int; colors (N,3) uint8 or None."""
+    device compute). Positions (N,3) int; colors (N,3) uint8 or None.
+    with_d2=True estimates source normals (PCA) and NN-transfers them to the
+    reconstruction so D2 is a true point-to-plane PSNR even when the caller
+    has no normals (VERDICT.md weak item 6)."""
     from vpcc_tpu.core.pointcloud import PAD_COORD, shape_bucket
+
+    if with_d2 and src_normals is None:
+        src_normals = estimate_normals(src_pos, grid_bits)
+    if src_normals is not None and rec_normals is None:
+        rec_normals = transfer_normals(src_pos, src_normals, rec_pos, grid_bits)
 
     def pad(pos, col, norm):
         n = pos.shape[0]

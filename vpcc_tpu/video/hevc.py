@@ -68,7 +68,7 @@ _MODE_BITS[tab.MODE_INTER] = 2.0      # inter flag
 class _SizeConsts:
     """Per-block-size device constants (prediction taps, transforms)."""
 
-    def __init__(self, n: int, WB: int):
+    def __init__(self, n: int):
         self.n = n
         idx0, idx1, w0, w1 = tab.angular_taps(n)
         self.idx0, self.idx1 = jnp.asarray(idx0), jnp.asarray(idx1)
@@ -77,6 +77,10 @@ class _SizeConsts:
         self.pl_left, self.pl_top = jnp.asarray(pl_left), jnp.asarray(pl_top)
         self.pl_tr, self.pl_bl = pl_tr, pl_bl
         self.dc_shift = n.bit_length()          # log2(n) + 1
+        G, rnd, shift = tab.prediction_matrix(n)
+        self.G = jnp.asarray(G)
+        self.rnd = jnp.asarray(rnd)
+        self.shift = jnp.asarray(shift)
         self.T = jnp.asarray(tab.dct_int(n))
         self.Tt = jnp.asarray(tab.dct_int(n).T)
         self.Cf = jnp.asarray(tab.dct_orthonormal(n).astype(np.float32))
@@ -85,42 +89,25 @@ class _SizeConsts:
         self.s1 = 11
         self.s2 = total - self.s1
         self.zz = jnp.asarray(tab.zigzag(n))
-        self.ref_offs = jnp.asarray(
-            np.concatenate(
-                [[-WB - 1], np.arange(2 * n) - WB, np.arange(2 * n) * WB - 1]
-            ).astype(np.int32)
-        )
-        self.blk_offs = jnp.asarray(
-            (np.arange(n)[:, None] * WB + np.arange(n)[None, :])
-            .reshape(-1)
-            .astype(np.int32)
-        )
 
 
 def _predict_all(refs, ref_blocks, C: _SizeConsts):
     """refs: (P, B, 4n+1) int32; ref_blocks: (P, B, n*n) int32 (co-located
-    inter prediction).  Returns (P, B, 36, n*n) int32 predictions."""
+    inter prediction).  Returns (P, B, 36, n*n) int32 predictions.
+
+    The full 35-mode intra bank is ONE f32 matmul against the constant
+    prediction matrix (hevc_tables.prediction_matrix) — integer-exact
+    because pre-shift sums stay under 2^16 (HIGHEST precision keeps the
+    MXU bf16x3 path exact for these magnitudes)."""
     n = C.n
-    ang = (C.w0 * refs[:, :, C.idx0] + C.w1 * refs[:, :, C.idx1] + 16) >> 5
-    dcsum = refs[:, :, 1 : n + 1].sum(-1) + refs[:, :, 2 * n + 1 : 3 * n + 1].sum(-1)
-    dc = (dcsum + n) >> C.dc_shift
-    dc = jnp.broadcast_to(dc[:, :, None, None, None], ang.shape[:2] + (1, n, n))
-    xs = jnp.arange(n, dtype=jnp.int32)
-    left_y = refs[:, :, C.pl_left]
-    top_x = refs[:, :, C.pl_top]
-    tr = refs[:, :, C.pl_tr]
-    bl = refs[:, :, C.pl_bl]
-    planar = (
-        (n - 1 - xs)[None, None, None, :] * left_y[:, :, :, None]
-        + (xs + 1)[None, None, None, :] * tr[:, :, None, None]
-        + (n - 1 - xs)[None, None, :, None] * top_x[:, :, None, :]
-        + (xs + 1)[None, None, :, None] * bl[:, :, None, None]
-        + n
-    ) >> C.dc_shift
-    intra = jnp.concatenate([planar[:, :, None], dc, ang], axis=2)
-    inter = ref_blocks.reshape(ref_blocks.shape[:2] + (1, n, n))
-    allp = jnp.concatenate([intra, inter], axis=2)
-    return allp.reshape(allp.shape[:2] + (tab.N_MODES, n * n))
+    pre = jnp.einsum(
+        "pbr,rk->pbk", refs.astype(jnp.float32), C.G,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pre = pre.astype(jnp.int32).reshape(refs.shape[:2] + (tab.N_INTRA_MODES, n * n))
+    intra = (pre + C.rnd[None, None, :, None]) >> C.shift[None, None, :, None]
+    inter = ref_blocks[:, :, None, :]
+    return jnp.concatenate([intra, inter], axis=2)
 
 
 def _int_recon(levels, pred, dq, maxvals, C: _SizeConsts):
@@ -194,186 +181,342 @@ def _deblock(rec, qps, maxvals):
     return rec
 
 
-def _pad_flat(x, HB, WB, extra):
-    """(P, H, W) -> flat (P, HB*WB + extra) in the padded buffer layout
-    with origin (1, 1)."""
+# ---------------------------------------------------------------------------
+# CU-block memory layout: the wavefront state lives as (P, nb+2, 256) rows —
+# one contiguous row per 16x16 CU — so every per-diagonal access is a batched
+# contiguous ROW gather/scatter (TPU-friendly) instead of pixel-level
+# gathers.  Row nb is a pristine init-value block standing in for every
+# out-of-frame / not-yet-coded neighbor; row nb+1 is the write dump for
+# masked lanes.
+
+CC = CU * CU
+
+
+def _to_blocks(x):
     P, H, W = x.shape
-    buf = jnp.zeros((P, HB, WB), jnp.int32)
-    buf = buf.at[:, 1 : 1 + H, 1 : 1 + W].set(x.astype(jnp.int32))
-    return jnp.concatenate(
-        [buf.reshape(P, HB * WB), jnp.zeros((P, extra), jnp.int32)], axis=1
+    return (
+        x.reshape(P, H // CU, CU, W // CU, CU)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(P, (H // CU) * (W // CU), CC)
     )
 
 
-@functools.lru_cache(maxsize=32)
-def _build_encode(P: int, H: int, W: int, deblock: bool):
-    nby, nbx = H // CU, W // CU
+def _from_blocks(b, H, W):
+    P = b.shape[0]
+    return (
+        b.reshape(P, H // CU, W // CU, CU, CU)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(P, H, W)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _neighbor_schedule(nby: int, nbx: int):
+    """Per-diagonal CU ids + neighbor ids (up, up-left, up-right, left);
+    out-of-grid / masked entries point at the init row nb."""
+    by_tab, bx_tab, valid = tab.wavefront_schedule(nby, nbx)
     nb = nby * nbx
-    HB, WB = H + 2 * CU + 2, W + 2 * CU + 2
-    SZ = HB * WB
-    by_tab, bx_tab, valid_tab = tab.wavefront_schedule(nby, nbx)
-    C16 = _SizeConsts(CU, WB)
-    C8 = _SizeConsts(SUB, WB)
+    nd, bmax = by_tab.shape
+
+    def nid(by, bx, ok):
+        return np.where(ok & (by >= 0) & (bx >= 0) & (bx < nbx), by * nbx + bx, nb)
+
+    bidx = np.where(valid, by_tab * nbx + bx_tab, nb + 1).astype(np.int32)
+    nbr = np.stack(
+        [
+            nid(by_tab - 1, bx_tab, valid),      # up
+            nid(by_tab - 1, bx_tab - 1, valid),  # up-left
+            nid(by_tab - 1, bx_tab + 1, valid),  # up-right
+            nid(by_tab, bx_tab - 1, valid),      # left
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    return bidx, nbr, nd, bmax
+
+
+def _refs16(up, upleft, upright, left, initc):
+    """Assemble the (P, B, 65) reference vector for 16x16 prediction from
+    neighbor CU tiles (P, B, 16, 16).  Bottom-left refs (rows 16..31) are
+    not yet coded in wavefront order and read the init value — identical on
+    encoder and decoder."""
+    corner = upleft[:, :, 15, 15:16]
+    top = jnp.concatenate([up[:, :, 15, :], upright[:, :, 15, :]], -1)
+    lcol = jnp.concatenate(
+        [left[:, :, :, 15], jnp.broadcast_to(initc, left.shape[:2] + (16,))], -1
+    )
+    return jnp.concatenate([corner, top, lcol], -1)
+
+
+def _refs8(s, cur, up, upleft, upright, left, initc):
+    """(P, B, 33) reference vector for sub-block s of the CU, from the
+    in-flight CU tile `cur` and the neighbor tiles (z-order causality)."""
+    ib = lambda k: jnp.broadcast_to(initc, cur.shape[:2] + (k,))
+    if s == 0:    # (0, 0)
+        corner = upleft[:, :, 15, 15:16]
+        top = up[:, :, 15, 0:16]
+        lcol = left[:, :, 0:16, 15]
+    elif s == 1:  # (0, 8)
+        corner = up[:, :, 15, 7:8]
+        top = jnp.concatenate([up[:, :, 15, 8:16], upright[:, :, 15, 0:8]], -1)
+        lcol = cur[:, :, 0:16, 7]
+    elif s == 2:  # (8, 0)
+        corner = left[:, :, 7, 15:16]
+        top = cur[:, :, 7, 0:16]
+        lcol = jnp.concatenate([left[:, :, 8:16, 15], ib(8)], -1)
+    else:         # (8, 8)
+        corner = cur[:, :, 7, 7:8]
+        top = jnp.concatenate([cur[:, :, 7, 8:16], ib(8)], -1)
+        lcol = jnp.concatenate([cur[:, :, 8:16, 7], ib(8)], -1)
+    return jnp.concatenate([corner, top, lcol], -1)
+
+
+def _quadrant(tile_rows, s):
+    """(P, B, 256) CU rows -> (P, B, 64) sub-block s in raster order."""
+    dy, dx = SUB_OFF[s]
+    t = tile_rows.reshape(tile_rows.shape[:2] + (CU, CU))
+    return t[:, :, dy : dy + SUB, dx : dx + SUB].reshape(
+        tile_rows.shape[:2] + (SUB * SUB,)
+    )
+
+
+def _block_weights(weights, nby, nbx):
+    """Precompute per-CU and per-sub-block RD distortion weights
+    (fraction of point-generating pixels, floored) outside the scan."""
+    wb = _to_blocks(weights.astype(jnp.float32))          # (P, nb, 256)
+    P, nb, _ = wb.shape
+    w16 = jnp.maximum(wb.mean(-1), 0.04)
+    t = wb.reshape(P, nb, 2, SUB, 2, SUB)
+    w8 = jnp.maximum(t.mean((3, 5)).reshape(P, nb, 4)[:, :, [0, 1, 2, 3]], 0.04)
+    # z-order: quadrants (0,0),(0,1),(1,0),(1,1) == index [dy, dx]
+    pad = lambda a: jnp.concatenate(
+        [a, jnp.ones((P, 2) + a.shape[2:], a.dtype)], axis=1
+    )
+    return pad(w16), pad(w8)
+
+
+def _pad_rows(x, fill):
+    """Append the init row (nb) and dump row (nb+1) to (P, nb, 256)."""
+    P = x.shape[0]
+    extra = jnp.full((P, 2) + x.shape[2:], 1, x.dtype) * fill
+    return jnp.concatenate([x, extra], axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_encode(P: int, H: int, W: int, deblock: bool,
+                  has_occ: bool, has_weight: bool):
+    Hp = -(-H // CU) * CU
+    Wp = -(-W // CU) * CU
+    nby, nbx = Hp // CU, Wp // CU
+    nb = nby * nbx
+    bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
+    C16 = _SizeConsts(CU)
+    C8 = _SizeConsts(SUB)
     dq_tab = jnp.asarray(tab.DQ64)
     lam_tab = jnp.asarray(tab.LAMBDA)
     mode_bits = jnp.asarray(_MODE_BITS)
 
-    def run(planes, qps, refs, has_ref, maxvals, weights):
-        src = _pad_flat(planes, HB, WB, CU * CU)
-        reff = _pad_flat(refs, HB, WB, CU * CU)
-        wmap = _pad_flat(weights, HB, WB, CU * CU)
-        init = ((maxvals + 1) // 2)[:, None]
-        buf = jnp.broadcast_to(init, (P, SZ + CU * CU)).astype(jnp.int32)
+    def run(planes, qps, refs, has_ref, maxvals, occ, weight):
+        # all input prep happens IN-JIT: one dispatch per plane batch (the
+        # tunneled device has ~30ms per eager op, so eager pad/astype chains
+        # cost more than the whole wavefront)
+        if has_occ:
+            planes = jax.vmap(lambda p: _round_int_plane(p, occ))(planes)
+        else:
+            planes = planes.astype(jnp.int32)
+        pad2 = lambda x, mode: jnp.pad(
+            x, ((0, 0), (0, Hp - H), (0, Wp - W)), mode=mode
+        ) if (Hp, Wp) != (H, W) else x
+        planes = pad2(planes, "edge")
+        refs = pad2(refs.astype(jnp.int32), "edge")
+        if has_weight:
+            weights = jnp.broadcast_to((weight != 0)[None], (P, H, W))
+            weights = pad2(weights.astype(jnp.int32), "constant")
+        else:
+            weights = jnp.ones((P, Hp, Wp), jnp.int32)
+        initv = ((maxvals + 1) // 2).astype(jnp.int32)          # (P,)
+        initc = initv[:, None, None]
+        src_blk = _pad_rows(_to_blocks(planes), initc)
+        ref_blk = _pad_rows(_to_blocks(refs), initc)
+        w16_all, w8_all = _block_weights(weights, nby, nbx)
+        blk = jnp.broadcast_to(initc, (P, nb + 2, CC)).astype(jnp.int32)
         dq = dq_tab[jnp.clip(qps, 0, 51)]
         qstep = dq.astype(jnp.float32) / 64.0
         inv_q = 1.0 / qstep
         lam = lam_tab[jnp.clip(qps, 0, 51)]
         inter_pen = jnp.where(has_ref, 0.0, jnp.float32(1e30))
 
-        split_out = jnp.zeros((P, nb + 1), jnp.int32)
-        m16_out = jnp.zeros((P, nb + 1), jnp.int32)
-        c16_out = jnp.zeros((P, nb + 1, CU * CU), jnp.int32)
-        m8_out = jnp.zeros((P, nb + 1, 4), jnp.int32)
-        c8_out = jnp.zeros((P, nb + 1, 4, SUB * SUB), jnp.int32)
-
-        def gather_w(idx):
-            return jnp.maximum(
-                jnp.take(wmap, idx, axis=1).astype(jnp.float32).mean(-1), 0.04
-            )
+        # compact outputs: only the CHOSEN branch is downloaded (int8/int16)
+        # — the device->host tunnel (~10-40 MB/s) is the pipeline bottleneck
+        split_out = jnp.zeros((P, nb + 2), jnp.int8)
+        modes_out = jnp.zeros((P, nb + 2, 4), jnp.int8)
+        coeff_out = jnp.zeros((P, nb + 2, CC), jnp.int16)
 
         def body(carry, xs):
-            buf, split_out, m16_out, c16_out, m8_out, c8_out = carry
-            by, bx, vld = xs
-            base16 = (by * CU + 1) * WB + (bx * CU + 1)
-            base16 = jnp.where(vld, base16, SZ)
-            bidx = jnp.where(vld, by * nbx + bx, nb)
-            blk16 = base16[:, None] + C16.blk_offs[None, :]
+            blk, split_out, modes_out, coeff_out = carry
+            bidx, nbr = xs
+            gather = lambda buf, ids: jnp.take(buf, ids, axis=1)
+            tile4 = lambda t: t.reshape(t.shape[:2] + (CU, CU))
+            up = tile4(gather(blk, nbr[:, 0]))
+            upleft = tile4(gather(blk, nbr[:, 1]))
+            upright = tile4(gather(blk, nbr[:, 2]))
+            left = tile4(gather(blk, nbr[:, 3]))
+            src16 = gather(src_blk, bidx)                     # (P,B,256)
+            ref16 = gather(ref_blk, bidx)
+            w16 = gather(w16_all, bidx)
+            w8 = gather(w8_all, bidx)                          # (P,B,4)
 
-            # ---- 16x16 candidate (refs gathered BEFORE any sub write)
-            refs16 = jnp.take(buf, base16[:, None] + C16.ref_offs[None, :], axis=1)
-            src16 = jnp.take(src, blk16, axis=1)
-            allp16 = _predict_all(refs16, jnp.take(reff, blk16, axis=1), C16)
+            # ---- 16x16 candidate
+            refs16 = _refs16(up, upleft, upright, left, initc)
+            allp16 = _predict_all(refs16, ref16, C16)
             m16, lev16, pred16, cost16 = _rd_choose(
-                src16, allp16, gather_w(blk16), qstep, inv_q, lam,
-                inter_pen, mode_bits, C16,
+                src16, allp16, w16, qstep, inv_q, lam, inter_pen, mode_bits, C16
             )
 
-            # ---- four 8x8 sub-blocks in z-order (later ones predict from
-            # earlier ones' reconstruction, matching raster causality)
-            cost_split = jnp.broadcast_to(lam[:, None], cost16.shape) * 1.0  # split flag
+            # ---- four 8x8 sub-blocks in z-order, entirely in registers
+            cur = jnp.broadcast_to(
+                initc[:, :, :, None], src16.shape[:2] + (CU, CU)
+            ).astype(jnp.int32)
+            cost_split = jnp.broadcast_to(lam[:, None], cost16.shape) * 1.0
             m8s, c8s = [], []
             for s, (dy, dx) in enumerate(SUB_OFF):
-                base8 = jnp.where(vld, base16 + dy * WB + dx, SZ)
-                blk8 = base8[:, None] + C8.blk_offs[None, :]
-                refs8 = jnp.take(buf, base8[:, None] + C8.ref_offs[None, :], axis=1)
-                src8 = jnp.take(src, blk8, axis=1)
-                allp8 = _predict_all(refs8, jnp.take(reff, blk8, axis=1), C8)
+                refs8 = _refs8(s, cur, up, upleft, upright, left, initc)
+                allp8 = _predict_all(refs8, _quadrant(ref16, s), C8)
                 m8, lev8, pred8, cost8 = _rd_choose(
-                    src8, allp8, gather_w(blk8), qstep, inv_q, lam,
-                    inter_pen, mode_bits, C8,
+                    _quadrant(src16, s), allp8, w8[:, :, s], qstep, inv_q,
+                    lam, inter_pen, mode_bits, C8,
                 )
                 rec8 = _int_recon(lev8, pred8, dq, maxvals, C8)
-                buf = buf.at[:, blk8].set(rec8)
+                cur = cur.at[:, :, dy : dy + SUB, dx : dx + SUB].set(
+                    rec8.reshape(rec8.shape[:2] + (SUB, SUB))
+                )
                 cost_split = cost_split + cost8
                 m8s.append(m8)
                 c8s.append(lev8[:, :, C8.zz])
 
-            # ---- decision: keep the z-order 8x8 recon or overwrite with 16
-            split = cost_split < cost16                      # (P, B)
+            # ---- decision + single row scatter
+            split = cost_split < cost16
             rec16 = _int_recon(lev16, pred16, dq, maxvals, C16)
-            cur = jnp.take(buf, blk16, axis=1)               # 8x8 recons
-            merged = jnp.where(split[:, :, None], cur, rec16)
-            buf = buf.at[:, blk16].set(merged)
+            tile = jnp.where(
+                split[:, :, None], cur.reshape(cur.shape[:2] + (CC,)), rec16
+            )
+            blk = blk.at[:, bidx].set(tile)
+            split_out = split_out.at[:, bidx].set(split.astype(jnp.int8))
+            m8v = jnp.stack(m8s, -1)                          # (P, B, 4)
+            m16v = jnp.concatenate(
+                [m16[:, :, None], jnp.zeros(m16.shape + (3,), m16.dtype)], -1
+            )
+            modes_out = modes_out.at[:, bidx].set(
+                jnp.where(split[:, :, None], m8v, m16v).astype(jnp.int8)
+            )
+            c8cat = jnp.concatenate(c8s, -1)                  # (P, B, 256)
+            coeff_out = coeff_out.at[:, bidx].set(
+                jnp.where(split[:, :, None], c8cat, lev16[:, :, C16.zz])
+                .astype(jnp.int16)
+            )
+            return (blk, split_out, modes_out, coeff_out), None
 
-            split_out = split_out.at[:, bidx].set(split.astype(jnp.int32))
-            m16_out = m16_out.at[:, bidx].set(m16)
-            c16_out = c16_out.at[:, bidx].set(lev16[:, :, C16.zz])
-            m8_out = m8_out.at[:, bidx].set(jnp.stack(m8s, -1))
-            c8_out = c8_out.at[:, bidx].set(jnp.stack(c8s, 2))
-            return (buf, split_out, m16_out, c16_out, m8_out, c8_out), None
-
-        xs = (jnp.asarray(by_tab), jnp.asarray(bx_tab), jnp.asarray(valid_tab))
-        carry = (buf, split_out, m16_out, c16_out, m8_out, c8_out)
-        (buf, split_out, m16_out, c16_out, m8_out, c8_out), _ = jax.lax.scan(
+        xs = (jnp.asarray(bidx_tab), jnp.asarray(nbr_tab))
+        carry = (blk, split_out, modes_out, coeff_out)
+        (blk, split_out, modes_out, coeff_out), _ = jax.lax.scan(
             body, carry, xs
         )
-        rec = buf[:, :SZ].reshape(P, HB, WB)[:, 1 : 1 + H, 1 : 1 + W]
+        rec = _from_blocks(blk[:, :nb], Hp, Wp)
         if deblock:
             rec = _deblock(rec, qps, maxvals)
         return (
-            split_out[:, :nb], m16_out[:, :nb], c16_out[:, :nb],
-            m8_out[:, :nb], c8_out[:, :nb], rec,
+            split_out[:, :nb], modes_out[:, :nb], coeff_out[:, :nb],
+            rec[:, :H, :W],
         )
 
     return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=64)
 def _build_decode(P: int, H: int, W: int, deblock: bool):
-    nby, nbx = H // CU, W // CU
+    Hp = -(-H // CU) * CU
+    Wp = -(-W // CU) * CU
+    nby, nbx = Hp // CU, Wp // CU
     nb = nby * nbx
-    HB, WB = H + 2 * CU + 2, W + 2 * CU + 2
-    SZ = HB * WB
-    by_tab, bx_tab, valid_tab = tab.wavefront_schedule(nby, nbx)
-    C16 = _SizeConsts(CU, WB)
-    C8 = _SizeConsts(SUB, WB)
+    bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
+    C16 = _SizeConsts(CU)
+    C8 = _SizeConsts(SUB)
     inv_zz16 = jnp.asarray(np.argsort(tab.zigzag(CU)).astype(np.int32))
     inv_zz8 = jnp.asarray(np.argsort(tab.zigzag(SUB)).astype(np.int32))
     dq_tab = jnp.asarray(tab.DQ64)
 
-    def run(split, m16, c16, m8, c8, qps, refs, maxvals):
-        reff = _pad_flat(refs, HB, WB, CU * CU)
-        init = ((maxvals + 1) // 2)[:, None]
-        buf = jnp.broadcast_to(init, (P, SZ + CU * CU)).astype(jnp.int32)
+    def run(split, modes, coeffs, qps, refs, maxvals):
+        # compact upload format (int8 split/modes, int16 combined coeffs):
+        # the unused branch of each CU reconstructs garbage and is masked
+        # by the split select, exactly as on the encoder side
+        refs = refs.astype(jnp.int32)
+        if (Hp, Wp) != (H, W):
+            refs = jnp.pad(refs, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+        initv = ((maxvals + 1) // 2).astype(jnp.int32)
+        initc = initv[:, None, None]
+        ref_blk = _pad_rows(_to_blocks(refs), initc)
+        blk = jnp.broadcast_to(initc, (P, nb + 2, CC)).astype(jnp.int32)
         dq = dq_tab[jnp.clip(qps, 0, 51)]
-        pad1 = lambda a: jnp.concatenate(
-            [a, jnp.zeros((P, 1) + a.shape[2:], a.dtype)], axis=1
+        pad0 = lambda a: jnp.concatenate(
+            [a, jnp.zeros((P, 2) + a.shape[2:], a.dtype)], axis=1
         )
-        split_p, m16_p, m8_p = pad1(split), pad1(m16), pad1(m8)
-        c16_p = pad1(c16[:, :, inv_zz16])
-        c8_p = pad1(c8[:, :, :, inv_zz8])
+        coeffs = coeffs.astype(jnp.int32)
+        modes = modes.astype(jnp.int32)
+        split_p = pad0(split.astype(jnp.int32))
+        m16_p = pad0(modes[:, :, 0])
+        m8_p = pad0(modes)
+        c16_p = pad0(coeffs[:, :, inv_zz16])
+        c8_p = pad0(
+            coeffs.reshape(P, nb, 4, SUB * SUB)[:, :, :, inv_zz8]
+        )
 
-        def body(buf, xs):
-            by, bx, vld = xs
-            base16 = (by * CU + 1) * WB + (bx * CU + 1)
-            base16 = jnp.where(vld, base16, SZ)
-            bidx = jnp.where(vld, by * nbx + bx, nb)
-            blk16 = base16[:, None] + C16.blk_offs[None, :]
-            spl = jnp.take(split_p, bidx, axis=1)            # (P, B)
+        def body(blk, xs):
+            bidx, nbr = xs
+            gather = lambda buf, ids: jnp.take(buf, ids, axis=1)
+            tile4 = lambda t: t.reshape(t.shape[:2] + (CU, CU))
+            up = tile4(gather(blk, nbr[:, 0]))
+            upleft = tile4(gather(blk, nbr[:, 1]))
+            upright = tile4(gather(blk, nbr[:, 2]))
+            left = tile4(gather(blk, nbr[:, 3]))
+            ref16 = gather(ref_blk, bidx)
+            spl = gather(split_p, bidx)
 
-            refs16 = jnp.take(buf, base16[:, None] + C16.ref_offs[None, :], axis=1)
-            allp16 = _predict_all(refs16, jnp.take(reff, blk16, axis=1), C16)
-            mode16 = jnp.take(m16_p, bidx, axis=1)
-            lev16 = jnp.take(c16_p, bidx, axis=1)
+            refs16 = _refs16(up, upleft, upright, left, initc)
+            allp16 = _predict_all(refs16, ref16, C16)
+            mode16 = gather(m16_p, bidx)
+            lev16 = gather(c16_p, bidx)
             pred16 = jnp.take_along_axis(
                 allp16, mode16[:, :, None, None], axis=2
             )[:, :, 0]
             rec16 = _int_recon(lev16, pred16, dq, maxvals, C16)
 
+            cur = jnp.broadcast_to(
+                initc[:, :, :, None], ref16.shape[:2] + (CU, CU)
+            ).astype(jnp.int32)
+            m8b = gather(m8_p, bidx)                         # (P,B,4)
+            c8b = gather(c8_p, bidx)                         # (P,B,4,64)
             for s, (dy, dx) in enumerate(SUB_OFF):
-                base8 = jnp.where(vld, base16 + dy * WB + dx, SZ)
-                blk8 = base8[:, None] + C8.blk_offs[None, :]
-                refs8 = jnp.take(buf, base8[:, None] + C8.ref_offs[None, :], axis=1)
-                allp8 = _predict_all(refs8, jnp.take(reff, blk8, axis=1), C8)
-                mode8 = jnp.take(m8_p[:, :, s], bidx, axis=1)
-                lev8 = jnp.take(c8_p[:, :, s], bidx, axis=1)
+                refs8 = _refs8(s, cur, up, upleft, upright, left, initc)
+                allp8 = _predict_all(refs8, _quadrant(ref16, s), C8)
                 pred8 = jnp.take_along_axis(
-                    allp8, mode8[:, :, None, None], axis=2
+                    allp8, m8b[:, :, s][:, :, None, None], axis=2
                 )[:, :, 0]
-                rec8 = _int_recon(lev8, pred8, dq, maxvals, C8)
-                buf = buf.at[:, blk8].set(rec8)
+                rec8 = _int_recon(c8b[:, :, s], pred8, dq, maxvals, C8)
+                cur = cur.at[:, :, dy : dy + SUB, dx : dx + SUB].set(
+                    rec8.reshape(rec8.shape[:2] + (SUB, SUB))
+                )
 
-            cur = jnp.take(buf, blk16, axis=1)
-            merged = jnp.where(spl[:, :, None] != 0, cur, rec16)
-            buf = buf.at[:, blk16].set(merged)
-            return buf, None
+            tile = jnp.where(
+                spl[:, :, None] != 0, cur.reshape(cur.shape[:2] + (CC,)), rec16
+            )
+            blk = blk.at[:, bidx].set(tile)
+            return blk, None
 
-        xs = (jnp.asarray(by_tab), jnp.asarray(bx_tab), jnp.asarray(valid_tab))
-        buf, _ = jax.lax.scan(body, buf, xs)
-        rec = buf[:, :SZ].reshape(P, HB, WB)[:, 1 : 1 + H, 1 : 1 + W]
+        xs = (jnp.asarray(bidx_tab), jnp.asarray(nbr_tab))
+        blk, _ = jax.lax.scan(body, blk, xs)
+        rec = _from_blocks(blk[:, :nb], Hp, Wp)
         if deblock:
             rec = _deblock(rec, qps, maxvals)
-        return rec
+        return rec[:, :H, :W]
 
     return jax.jit(run)
 
@@ -392,16 +535,6 @@ def _round_int_plane(plane, occ):
     if occ is not None:
         x = padding.push_pull_fill(x, jnp.asarray(occ))
     return jnp.round(x).astype(jnp.int32)
-
-
-def _pad_to_cu(x, mode="edge"):
-    """Pad (P, H, W) up to CU multiples by edge replication."""
-    P, H, W = x.shape
-    Hp = -(-H // CU) * CU
-    Wp = -(-W // CU) * CU
-    if (Hp, Wp) == (H, W):
-        return x
-    return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)), mode=mode)
 
 
 def encode_planes(
@@ -430,48 +563,37 @@ def encode_planes(
             planes = planes[None]
     P, H, W = planes.shape
     assert H % SUB == 0 and W % SUB == 0, (H, W)
-    if occ is not None:
-        planes = jax.vmap(lambda p: _round_int_plane(p, occ))(planes)
-    else:
-        planes = planes.astype(jnp.int32)
     has_ref = refs is not None
+    has_occ = occ is not None
+    has_weight = weight is not None
     refs_a = (
-        jnp.asarray(refs).astype(jnp.int32)
-        if has_ref
-        else jnp.zeros((P, H, W), jnp.int32)
+        jnp.asarray(refs) if has_ref else jnp.zeros((P, H, W), jnp.int32)
     )
-    if weight is None:
-        w_a = jnp.ones((P, H, W), jnp.int32)
-    else:
-        w_a = jnp.asarray(weight)
-        if w_a.ndim == 2:
-            w_a = jnp.broadcast_to(w_a[None] != 0, (P, H, W))
-        w_a = w_a.astype(jnp.int32)
-    planes_p = _pad_to_cu(planes)
-    refs_p = _pad_to_cu(refs_a)
-    w_p = _pad_to_cu(w_a, mode="constant")
-    _, Hp, Wp = planes_p.shape
+    occ_a = jnp.asarray(occ) if has_occ else jnp.zeros((1, 1), jnp.int32)
+    w_a = jnp.asarray(weight) if has_weight else jnp.zeros((1, 1), jnp.int32)
     qps_a = jnp.asarray(np.asarray(qps, np.int32))
     mv_a = jnp.asarray(np.asarray(maxvals, np.int32))
-    fn = _build_encode(P, Hp, Wp, deblock)
-    split, m16, c16, m8, c8, rec = fn(
-        planes_p, qps_a, refs_p, jnp.asarray(bool(has_ref)), mv_a, w_p
+    fn = _build_encode(P, H, W, deblock, has_occ, has_weight)
+    split, modes, coeffs, rec = fn(
+        planes, qps_a, refs_a, jnp.asarray(bool(has_ref)), mv_a, occ_a, w_a
     )
-    for a in (split, m16, c16, m8, c8):
+    for a in (split, modes, coeffs):
         a.copy_to_host_async()
-    split_h, m16_h, c16_h = np.asarray(split), np.asarray(m16), np.asarray(c16)
-    m8_h, c8_h = np.asarray(m8), np.asarray(c8)
-    nby, nbx = Hp // CU, Wp // CU
+    split_h = np.asarray(split).astype(np.int32)
+    modes_h = np.asarray(modes).astype(np.int32)
+    coeff_h = np.asarray(coeffs).astype(np.int32)
+    nby, nbx = -(-H // CU), -(-W // CU)
     flags = (FLAG_INTER if has_ref else 0) | (FLAG_DEBLOCK if deblock else 0)
     out = bytearray()
     out += struct.pack("<HHBB", H, W, P, flags)
     for p in range(P):
         blob = entropy.encode_hevc_plane(
-            nby, nbx, split_h[p], m16_h[p], c16_h[p], m8_h[p], c8_h[p]
+            nby, nbx, split_h[p], modes_h[p, :, 0], coeff_h[p],
+            modes_h[p], coeff_h[p].reshape(-1, 4, SUB * SUB),
         )
         out += struct.pack("<BHI", int(qps[p]), int(maxvals[p]), len(blob))
         out += blob
-    return bytes(out), rec[:, :H, :W]
+    return bytes(out), rec
 
 
 def decode_planes(payload: bytes, refs=None) -> jax.Array:
@@ -484,30 +606,33 @@ def decode_planes(payload: bytes, refs=None) -> jax.Array:
     nb = nby * nbx
     qps = np.zeros(P, np.int32)
     maxvals = np.zeros(P, np.int32)
-    split = np.zeros((P, nb), np.int32)
-    m16 = np.zeros((P, nb), np.int32)
-    c16 = np.zeros((P, nb, CU * CU), np.int32)
-    m8 = np.zeros((P, nb, 4), np.int32)
-    c8 = np.zeros((P, nb, 4, SUB * SUB), np.int32)
+    split = np.zeros((P, nb), np.int8)
+    modes = np.zeros((P, nb, 4), np.int8)
+    coeff = np.zeros((P, nb, CU * CU), np.int16)
     for p in range(P):
         qps[p], maxvals[p], ln = struct.unpack("<BHI", payload[pos : pos + 7])
         pos += 7
-        s_, a_, b_, c_, d_ = entropy.decode_hevc_plane(
+        s_, m16_, c16_, m8_, c8_ = entropy.decode_hevc_plane(
             payload[pos : pos + ln], nby, nbx
         )
         pos += ln
-        split[p], m16[p], c16[p], m8[p], c8[p] = s_, a_, b_, c_, d_
+        spl = s_ != 0
+        split[p] = s_.astype(np.int8)
+        m4 = np.where(spl[:, None], m8_, np.concatenate(
+            [m16_[:, None], np.zeros((nb, 3), np.int32)], 1))
+        modes[p] = m4.astype(np.int8)
+        coeff[p] = np.where(
+            spl[:, None], c8_.reshape(nb, CU * CU), c16_
+        ).astype(np.int16)
     if flags & FLAG_INTER:
-        refs_a = _pad_to_cu(jnp.asarray(refs).astype(jnp.int32))
+        refs_a = jnp.asarray(refs)
     else:
-        refs_a = jnp.zeros((P, Hp, Wp), jnp.int32)
-    fn = _build_decode(P, Hp, Wp, bool(flags & FLAG_DEBLOCK))
-    rec = fn(
-        jnp.asarray(split), jnp.asarray(m16), jnp.asarray(c16),
-        jnp.asarray(m8), jnp.asarray(c8), jnp.asarray(qps),
-        refs_a, jnp.asarray(maxvals),
+        refs_a = jnp.zeros((P, H, W), jnp.int32)
+    fn = _build_decode(P, H, W, bool(flags & FLAG_DEBLOCK))
+    return fn(
+        jnp.asarray(split), jnp.asarray(modes), jnp.asarray(coeff),
+        jnp.asarray(qps), refs_a, jnp.asarray(maxvals),
     )
-    return rec[:, :H, :W]
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,7 @@ def _main_ref_index(k: int, n: int, vertical: bool, angle: int) -> int:
     if k >= 0:
         if k == 0:
             return 0
+        k = min(k, 2 * n)  # k == 2n+1 only reachable with tap weight 0 (a=32)
         return k if vertical else 2 * n + k
     # projected from the side array (HM xPredIntraAng invAngleSum loop)
     inv = _INV_ANGLE[angle]
@@ -175,3 +176,40 @@ def wavefront_schedule(nby: int, nbx: int):
             bx_tab[d, s] = bx
             valid[d, s] = True
     return by_tab, bx_tab, valid
+
+
+@functools.lru_cache(maxsize=None)
+def prediction_matrix(n: int):
+    """All 35 intra predictions as ONE dense linear map over the (4n+1)
+    reference vector: pred[m] = (refs @ G[:, m] + rnd[m]) >> shift[m].
+
+    Every HEVC intra mode (planar, DC, 33 angular) is linear in the
+    reference samples with small integer weights, so the whole mode bank
+    is a single (4n+1, 35*n*n) matmul — MXU-friendly, no gathers.  The
+    pre-shift sums stay below 2^16 with <=2^10 inputs, so the f32 matmul
+    is integer-exact on both CPU (true f32) and TPU MXU (bf16x3 passes)."""
+    R = 4 * n + 1
+    G = np.zeros((R, N_INTRA_MODES, n, n), np.float32)
+    dc_shift = n.bit_length()
+    # planar (mode 0)
+    for y in range(n):
+        for x in range(n):
+            G[2 * n + 1 + y, 0, y, x] += n - 1 - x
+            G[n + 1, 0, y, x] += x + 1
+            G[1 + x, 0, y, x] += n - 1 - y
+            G[3 * n + 1, 0, y, x] += y + 1
+    # DC (mode 1)
+    G[1 : n + 1, 1, :, :] = 1.0
+    G[2 * n + 1 : 3 * n + 1, 1, :, :] = 1.0
+    # angular (modes 2..34)
+    idx0, idx1, w0, w1 = angular_taps(n)
+    for mi in range(33):
+        for y in range(n):
+            for x in range(n):
+                G[idx0[mi, y, x], 2 + mi, y, x] += w0[mi, y, x]
+                G[idx1[mi, y, x], 2 + mi, y, x] += w1[mi, y, x]
+    rnd = np.full(N_INTRA_MODES, 16, np.int32)
+    rnd[0] = rnd[1] = n
+    shift = np.full(N_INTRA_MODES, 5, np.int32)
+    shift[0] = shift[1] = dc_shift
+    return G.reshape(R, N_INTRA_MODES * n * n), rnd, shift
