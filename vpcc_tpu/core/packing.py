@@ -95,7 +95,12 @@ def match_patches(patches: List[Patch], prev_patches: List[Patch], iou_threshold
 
 
 def _try_preferred(canvas: np.ndarray, p: Patch, bo: np.ndarray) -> bool:
-    """Attempt to place the patch at its previous-frame position."""
+    """Attempt to place the patch at its previous-frame position.
+
+    Placement validity is tested against the patch's FULL bounding
+    rectangle (the canvas holds occupied blocks of earlier patches), but
+    only the occupied blocks are claimed — see pack_flexible for why this
+    keeps the decoder's overwrite-order block-to-patch derivation exact."""
     if p.pref_u0 < 0:
         return False
     fp = _orient_footprint(bo, p.pref_orientation)
@@ -103,7 +108,7 @@ def _try_preferred(canvas: np.ndarray, p: Patch, bo: np.ndarray) -> bool:
     if p.pref_v0 + h > canvas.shape[0] or p.pref_u0 + w > canvas.shape[1]:
         return False
     region = canvas[p.pref_v0 : p.pref_v0 + h, p.pref_u0 : p.pref_u0 + w]
-    if (region & fp).any():
+    if region.any():
         return False
     p.u0, p.v0, p.orientation = p.pref_u0, p.pref_v0, p.pref_orientation
     region |= fp
@@ -157,9 +162,16 @@ def pack_flexible(
         if cfg.lowDelayEncoding:
             # precedence mode (reference lowDelayEncoding, PCCEncoder.cpp
             # :2421-2427): claim the FULL bounding rectangle so patch
-            # bounding boxes never overlap — this also guarantees the
-            # block-to-patch derivation is unambiguous.
+            # bounding boxes never overlap.
             bo = np.ones_like(bo)
+        # Disambiguation invariant for the decoder's overwrite-order
+        # block-to-patch rule (PCCCodec.cpp:1619-1776): a later patch's
+        # BOUNDING RECTANGLE must never cover an occupied block of an
+        # earlier patch (the later patch would steal it).  So placement
+        # validity tests the full rectangle against the canvas of OCCUPIED
+        # blocks, but only occupied blocks are claimed — strictly tighter
+        # packing than lowDelay's rect-vs-rect exclusion, with the same
+        # decode-side guarantee.
         if _try_preferred(canvas, p, bo):
             continue
         if strategy == 0:
@@ -172,8 +184,9 @@ def pack_flexible(
         while not placed:
             # valid maps per orientation; combined first-fit in raster order
             valids = []
+            rect = np.ones_like(bo)
             for o in orients:
-                fp = _orient_footprint(bo, o)
+                fp = _orient_footprint(rect, o)
                 valids.append((o, _valid_positions(canvas, fp), fp.shape))
             best = None  # (v, u, orient_rank)
             for rank, (o, vmap, shp) in enumerate(valids):

@@ -116,15 +116,19 @@ class Encoder:
             cfg.lambdaRefineSegmentation, cfg.iterationCountRefineSegmentation,
         )
         part_pt = voxelize.gather_point_values(part, point_vox) if shift else part
-        return part_pt, part, nn_idx, nn_valid, point_vox, n
+        return part_pt, part, nn_idx, nn_valid, point_vox, n, pc.positions
 
     @staticmethod
     def segment_fetch(futures):
         """Download ONLY the (N,) partition labels; the (N, K) neighbor
         graph stays on device (it feeds the device CC; at CTC point counts
         it is ~50 MB and the tunnel moves ~10-40 MB/s)."""
-        part_pt, part, nn_idx, nn_valid, point_vox, n = futures
-        return np.asarray(part_pt)[:n], (part, nn_idx, nn_valid, point_vox), n
+        part_pt, part, nn_idx, nn_valid, point_vox, n, pos_dev = futures
+        return (
+            np.asarray(part_pt)[:n],
+            (part, nn_idx, nn_valid, point_vox, pos_dev),
+            n,
+        )
 
     def segment(self, pc_host: PointCloudData):
         """Synchronous segmentation (dispatch + fetch)."""
@@ -142,7 +146,7 @@ class Encoder:
         DEVICE (ops/cc.py cc_labels_device); only the (N,) label vector is
         downloaded per round."""
         cfg = self.cfg
-        part_dev, nn_idx_dev, nn_valid_dev, point_vox = dev_graph
+        part_dev, nn_idx_dev, nn_valid_dev, point_vox, pos_dev = dev_graph
         vcap = int(nn_idx_dev.shape[0])
         cap = vcap if point_vox is None else int(point_vox.shape[0])
         positions = np.asarray(pc_host.positions, np.int32)
@@ -190,8 +194,9 @@ class Encoder:
                 break
             patches.extend(new_patches)
             # coverage update: distance to the resampled cloud of the NEW
-            # patches. Only still-uncovered points can change (dist2 is a
-            # running minimum), so later rounds query just the raw subset.
+            # patches.  Round 0 queries the device-resident source cloud
+            # directly (no re-upload); later rounds query just the small
+            # still-uncovered subset (dist2 is a running minimum).
             res_pts = [pp for p in new_patches for pp in p.generate_points()[:2]]
             res_pts = np.concatenate([r for r in res_pts if len(r)], axis=0)
             rcap = shape_bucket(len(res_pts))
@@ -199,12 +204,15 @@ class Encoder:
             rp[: len(res_pts)] = res_pts
             rp_dev = jnp.asarray(rp)
             grid_r = neighbors.build_grid(rp_dev, cfg.geometryBitDepth3D)
-            qsel = np.nonzero(dist2 > cfg.maxAllowedDist2RawPointsSelection)[0] \
-                if _round > 0 else np.arange(n)
-            qcap = shape_bucket(len(qsel))
-            q = np.full((qcap, 3), PAD_COORD, np.int32)
-            q[: len(qsel)] = positions[qsel]
-            _, d2 = neighbors.nearest(grid_r, rp_dev, jnp.asarray(q), bucket=8)
+            if _round == 0:
+                qsel = np.arange(n)
+                _, d2 = neighbors.nearest(grid_r, rp_dev, pos_dev, bucket=8)
+            else:
+                qsel = np.nonzero(dist2 > cfg.maxAllowedDist2RawPointsSelection)[0]
+                qcap = shape_bucket(len(qsel))
+                q = np.full((qcap, 3), PAD_COORD, np.int32)
+                q[: len(qsel)] = positions[qsel]
+                _, d2 = neighbors.nearest(grid_r, rp_dev, jnp.asarray(q), bucket=8)
             d2h = np.asarray(d2)[: len(qsel)].astype(np.float64)
             d2h[d2h >= float(neighbors.MAX_DIST2)] = np.inf
             dist2[qsel] = np.minimum(dist2[qsel], d2h)
@@ -292,12 +300,13 @@ class Encoder:
         t = time.perf_counter()
         bits = cfg.geometryBitDepth3D
         src_cap = shape_bucket(pc_host.point_count)
-        sp = np.full((src_cap, 3), PAD_COORD, np.int32)
-        sp[: pc_host.point_count] = pc_host.positions.astype(np.int32)
+        # source positions are already on device (dev_graph carries them
+        # from segmentation) — only the colors upload
+        sp_dev = dev_graph[4]
+        assert int(sp_dev.shape[0]) == src_cap
         sc = np.zeros((src_cap, 3), np.int32)
         if pc_host.colors is not None:
             sc[: pc_host.point_count] = pc_host.colors
-        sp_dev = jnp.asarray(sp)
         sc_dev = jnp.asarray(sc)
         src_valid = jnp.arange(src_cap) < pc_host.point_count
         if bits <= 10:
@@ -306,7 +315,8 @@ class Encoder:
             )
         else:
             ei, he = recolor.exact_matches(
-                sp, np.asarray(recon.pos), pc_host.point_count, bits
+                np.asarray(sp_dev), np.asarray(recon.pos),
+                pc_host.point_count, bits,
             )
             exact_idx, has_exact = jnp.asarray(ei), jnp.asarray(he)
         rec_col = recolor.transfer_colors(

@@ -76,10 +76,12 @@ class VPCCConfig:
     packingStrategy: int = 1
     useEightOrientations: int = 0
     safeGuardDistance: int = 0
-    # NOTE: defaults to 1 (full-rectangle precedence packing) until the
-    # candidate-based block disambiguation lands: it guarantees patch
-    # bounding boxes never overlap, so block-to-patch is unambiguous.
-    lowDelayEncoding: int = 1
+    # default 0: packing tests the full rectangle against OCCUPIED blocks
+    # and claims only occupied blocks, which keeps the decoder's
+    # overwrite-order block-to-patch derivation exact with overlapping
+    # bounding boxes (core/packing.py) — tighter atlases than the
+    # full-rectangle precedence mode (lowDelayEncoding=1)
+    lowDelayEncoding: int = 0
 
     # --- occupancy ---
     occupancyPrecision: int = 4

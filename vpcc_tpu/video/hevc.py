@@ -304,16 +304,20 @@ def _pad_rows(x, fill):
 @functools.lru_cache(maxsize=64)
 def _build_encode(P: int, H: int, W: int, deblock: bool,
                   has_occ: bool, has_weight: bool):
-    Hp = -(-H // CU) * CU
-    Wp = -(-W // CU) * CU
-    nby, nbx = Hp // CU, Wp // CU
-    nb = nby * nbx
-    bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
-    C16 = _SizeConsts(CU)
-    C8 = _SizeConsts(SUB)
-    dq_tab = jnp.asarray(tab.DQ64)
-    lam_tab = jnp.asarray(tab.LAMBDA)
-    mode_bits = jnp.asarray(_MODE_BITS)
+    # constants must be concrete even when this builder is first
+    # invoked inside an outer trace (the lru_cache would otherwise
+    # leak tracers into later calls)
+    with jax.ensure_compile_time_eval():
+        Hp = -(-H // CU) * CU
+        Wp = -(-W // CU) * CU
+        nby, nbx = Hp // CU, Wp // CU
+        nb = nby * nbx
+        bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
+        C16 = _SizeConsts(CU)
+        C8 = _SizeConsts(SUB)
+        dq_tab = jnp.asarray(tab.DQ64)
+        lam_tab = jnp.asarray(tab.LAMBDA)
+        mode_bits = jnp.asarray(_MODE_BITS)
 
     def run(planes, qps, refs, has_ref, maxvals, occ, weight):
         # all input prep happens IN-JIT: one dispatch per plane batch (the
@@ -433,16 +437,20 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
 
 @functools.lru_cache(maxsize=64)
 def _build_decode(P: int, H: int, W: int, deblock: bool):
-    Hp = -(-H // CU) * CU
-    Wp = -(-W // CU) * CU
-    nby, nbx = Hp // CU, Wp // CU
-    nb = nby * nbx
-    bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
-    C16 = _SizeConsts(CU)
-    C8 = _SizeConsts(SUB)
-    inv_zz16 = jnp.asarray(np.argsort(tab.zigzag(CU)).astype(np.int32))
-    inv_zz8 = jnp.asarray(np.argsort(tab.zigzag(SUB)).astype(np.int32))
-    dq_tab = jnp.asarray(tab.DQ64)
+    # constants must be concrete even when this builder is first
+    # invoked inside an outer trace (the lru_cache would otherwise
+    # leak tracers into later calls)
+    with jax.ensure_compile_time_eval():
+        Hp = -(-H // CU) * CU
+        Wp = -(-W // CU) * CU
+        nby, nbx = Hp // CU, Wp // CU
+        nb = nby * nbx
+        bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
+        C16 = _SizeConsts(CU)
+        C8 = _SizeConsts(SUB)
+        inv_zz16 = jnp.asarray(np.argsort(tab.zigzag(CU)).astype(np.int32))
+        inv_zz8 = jnp.asarray(np.argsort(tab.zigzag(SUB)).astype(np.int32))
+        dq_tab = jnp.asarray(tab.DQ64)
 
     def run(split, modes, coeffs, qps, refs, maxvals):
         # compact upload format (int8 split/modes, int16 combined coeffs):
