@@ -76,6 +76,8 @@ class V3CParameterSet:
     smoothing_threshold: int = 64
     color_smoothing_enabled: int = 0
     color_smoothing_grid_size: int = 4
+    # EOM (enhanced occupancy map): number of in-between bit planes, 0 = off
+    eom_bits: int = 0
 
     def write(self, bw: BitWriter) -> None:
         bw.u(4, self.vps_id)
@@ -97,6 +99,7 @@ class V3CParameterSet:
         bw.u(16, self.smoothing_threshold)
         bw.u(1, self.color_smoothing_enabled)
         bw.u(8, self.color_smoothing_grid_size)
+        bw.u(3, self.eom_bits)
         bw.byte_align()
 
     @classmethod
@@ -121,6 +124,7 @@ class V3CParameterSet:
         v.smoothing_threshold = br.u(16)
         v.color_smoothing_enabled = br.u(1)
         v.color_smoothing_grid_size = br.u(8)
+        v.eom_bits = br.u(3)
         br.byte_align()
         return v
 

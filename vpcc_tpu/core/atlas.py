@@ -31,6 +31,7 @@ class AtlasFrame:
     geometry1: np.ndarray      # (H, W) uint16, relative depth D1 (absoluteD1)
     block_to_patch: np.ndarray  # (H/res, W/res) int32, 0 = none else idx+1
     patches: List[Patch]
+    eom: "np.ndarray | None" = None  # (H, W) int32 EOM bit codes
 
 
 # ---------------------------------------------------------------------------
@@ -38,7 +39,7 @@ class AtlasFrame:
 PATCH_FIELDS = (
     "u0", "v0", "size_u0", "size_v0", "u1", "v1", "d1",
     "normal_axis", "tangent_axis", "bitangent_axis",
-    "projection_mode", "orientation",
+    "projection_mode", "orientation", "axis_of_additional_plane", "geo_bits",
 )
 
 
@@ -56,6 +57,7 @@ def rasterize_frame(patches: List[Patch], width: int, height: int, cfg: VPCCConf
     occ = np.zeros((height, width), np.uint8)
     geo0 = np.zeros((height, width), np.uint16)
     geo1 = np.zeros((height, width), np.uint16)
+    eom = np.zeros((height, width), np.int32) if cfg.enhancedOccupancyMapCode else None
 
     for idx, p in enumerate(patches):
         pdt = 1 - 2 * p.projection_mode
@@ -70,9 +72,11 @@ def rasterize_frame(patches: List[Patch], width: int, height: int, cfg: VPCCConf
         occ[y, x] = 1
         geo0[y, x] = np.clip(rel0, 0, max2d).astype(np.uint16)
         geo1[y, x] = np.clip(rel1, 0, max2d).astype(np.uint16)
+        if eom is not None and p.eom is not None:
+            eom[y, x] = p.eom[vv, uu]
 
     btp = derive_block_to_patch(occ, patches, width, height, cfg.occupancyResolution)
-    return AtlasFrame(width, height, occ, geo0, geo1, btp, patches)
+    return AtlasFrame(width, height, occ, geo0, geo1, btp, patches, eom=eom)
 
 
 def derive_block_to_patch(
@@ -124,15 +128,23 @@ def _block_to_canvas(p: Patch, u: np.ndarray, v: np.ndarray) -> Tuple[np.ndarray
     return x + p.u0, y + p.v0
 
 
-def downsample_occupancy(occ: np.ndarray, precision: int) -> np.ndarray:
-    """Full-res binary map -> occupancy video at 1/precision resolution
-    (any-occupied pooling; reference codes B0-sized blocks)."""
+def downsample_occupancy(
+    occ: np.ndarray, precision: int, threshold: int = 0
+) -> np.ndarray:
+    """Full-res binary map -> occupancy video at 1/precision resolution.
+
+    threshold=0: any-occupied pooling (reference default).  threshold>0:
+    lossy occupancy (reference modifyOccupancyMap, PCCEncoder.cpp:863-962)
+    — a block is signalled occupied only when it holds MORE than
+    `threshold` occupied pixels, dropping isolated border pixels that cost
+    occupancy+geometry bits and produce stray reconstructed points."""
     h, w = occ.shape
-    return (
-        occ.reshape(h // precision, precision, w // precision, precision)
-        .max(axis=(1, 3))
-        .astype(np.uint8)
+    cnt = (
+        (occ != 0)
+        .reshape(h // precision, precision, w // precision, precision)
+        .sum(axis=(1, 3))
     )
+    return (cnt > threshold).astype(np.uint8)
 
 
 def upsample_occupancy(occ_video: np.ndarray, precision: int) -> np.ndarray:

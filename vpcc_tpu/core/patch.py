@@ -24,6 +24,41 @@ from vpcc_tpu.utils.config import VPCCConfig
 
 INFINITE_DEPTH = np.int32(0x7FFF)
 
+
+def rotate45(pos: np.ndarray, axis: int, bits: int) -> np.ndarray:
+    """Forward 45-degree lift for the additional projection planes
+    (reference: PCCPatchSegmenter.h:238 convert; our offset S = 2^bits - 1
+    keeps every rotated coordinate non-negative).  axis: 1=Y, 2=X, 3=Z."""
+    s = (1 << bits) - 1
+    x, y, z = pos[:, 0].astype(np.int64), pos[:, 1].astype(np.int64), pos[:, 2].astype(np.int64)
+    if axis == 1:
+        out = np.stack([x + z, y, z - x + s], 1)
+    elif axis == 2:
+        out = np.stack([x, y - z + s, y + z], 1)
+    elif axis == 3:
+        out = np.stack([x - y + s, x + y, z], 1)
+    else:
+        return pos
+    return out.astype(np.int64)
+
+
+def inverse_rotate45(pos: np.ndarray, axis: int, bits: int) -> np.ndarray:
+    """Exact integer inverse of rotate45 (reference:
+    PCCCodec.cpp:2514 inverseRotatePosition45DegreeOnAxis); the difference
+    terms are always even for true lattice points."""
+    s = (1 << bits) - 1
+    p = pos.astype(np.int64)
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    if axis == 1:
+        out = np.stack([(x - z + s) >> 1, y, (x + z - s) >> 1], 1)
+    elif axis == 2:
+        out = np.stack([x, (y + z - s) >> 1, (z - y + s) >> 1], 1)
+    elif axis == 3:
+        out = np.stack([(x + y - s) >> 1, (y - x + s) >> 1, z], 1)
+    else:
+        return pos
+    return out
+
 # orientation codes (reference: PCCBitstreamCommon.h:112-123)
 ORIENT_DEFAULT = 0
 ORIENT_SWAP = 1
@@ -73,6 +108,14 @@ class Patch:
     # matched patch's index in the previous frame's tile (P-tile inter
     # patch prediction; reference PCCDecoder.cpp:829-1213)
     ref_patch_idx: int = -1
+    # EOM (enhanced occupancy map) in-between-point bits: bit k set means a
+    # point exists at directed depth D0 + k + 1, strictly between D0 and D1
+    # (reference: PCCPatchSegmenter.cpp EOM handling + PCCCodec.cpp:671-804)
+    eom: Optional[np.ndarray] = None  # (size_v, size_u) int32 or None
+    # 45-degree additional projection plane: 0 = axis-aligned, 1..3 = the
+    # rotation axis (Y/X/Z); patch-local coords live in the rotated frame
+    axis_of_additional_plane: int = 0
+    geo_bits: int = 10  # 3D bit depth (for the rotation offset)
 
     def __post_init__(self):
         res = self.occupancy_resolution
@@ -139,14 +182,29 @@ class Patch:
         pts0 = self._uvd_to_xyz(uu, vv, d0)
         m1 = self.depth1[vv, uu] != d0
         pts1 = self._uvd_to_xyz(uu[m1], vv[m1], self.depth1[vv, uu][m1])
+        if self.eom is not None and self.eom.any():
+            pdt = 1 - 2 * self.projection_mode
+            extra = []
+            ebits = self.eom[vv, uu]
+            for k in range(int(ebits.max()).bit_length()):
+                mk = (ebits >> k) & 1 != 0
+                extra.append(
+                    self._uvd_to_xyz(uu[mk], vv[mk], d0[mk] + pdt * (k + 1))
+                )
+            if extra:
+                pts1 = np.concatenate([pts1] + extra, axis=0)
         return pts0, pts1, np.stack([uu, vv], 1)
 
     def _uvd_to_xyz(self, u, v, d_abs):
-        pts = np.zeros((len(u), 3), np.int32)
+        pts = np.zeros((len(u), 3), np.int64)
         pts[:, self.normal_axis] = d_abs
         pts[:, self.tangent_axis] = u + self.u1
         pts[:, self.bitangent_axis] = v + self.v1
-        return pts
+        if self.axis_of_additional_plane:
+            pts = inverse_rotate45(
+                pts, self.axis_of_additional_plane, self.geo_bits
+            )
+        return pts.astype(np.int32)
 
 
 def _color_similar(c1: np.ndarray, c2: np.ndarray, threshold: int = 128) -> np.ndarray:
@@ -162,10 +220,14 @@ def build_patch_from_component(
     cfg: VPCCConfig,
 ) -> Optional[Patch]:
     axes = VIEW_AXES[view_id]
-    _, normal_axis, tangent_axis, bitangent_axis, mode = (int(a) for a in axes)
+    add_axis, normal_axis, tangent_axis, bitangent_axis, mode = (int(a) for a in axes)
     pdt = 1 - 2 * mode  # projectionDirectionType: +1 for mode 0, -1 for mode 1
 
     p = positions[comp]
+    if add_axis:
+        # 45-degree plane: project in the rotated frame (reference convert,
+        # PCCPatchSegmenter.h:238); reconstruction inverse-rotates
+        p = rotate45(p, add_axis, cfg.geometryBitDepth3D).astype(np.int32)
     d = p[:, normal_axis].astype(np.int32)
     u_abs = p[:, tangent_axis].astype(np.int64)
     v_abs = p[:, bitangent_axis].astype(np.int64)
@@ -242,6 +304,25 @@ def build_patch_from_component(
     if not occ_map.any():
         return None
 
+    # --- EOM bits: points strictly between D0 and D1 (in-between points the
+    # two-map projection drops; reference EOM, PCCCodec.cpp:671-804)
+    eom_map = None
+    if cfg.enhancedOccupancyMapCode:
+        pix_d0 = d0_map.reshape(-1)[pix]
+        pix_d1 = d1_map.reshape(-1)[pix]
+        delta = pdt * (d - pix_d0)
+        between = (
+            (pix_d0 != INFINITE_DEPTH)
+            & (delta > 0)
+            & (pdt * d < pdt * pix_d1)
+        )
+        ebits = np.zeros(size_u * size_v, np.int32)
+        np.bitwise_or.at(
+            ebits, pix[between],
+            (np.int32(1) << (delta[between] - 1).astype(np.int32)),
+        )
+        eom_map = ebits.reshape(size_v, size_u)
+
     # --- sizeD (reference: :1203-1218)
     rel1 = pdt * (d1_map[occ_map] - d1)
     size_d_pixel = int(rel1.max(initial=0))
@@ -268,4 +349,7 @@ def build_patch_from_component(
         occupancy_resolution=cfg.occupancyResolution,
         depth0=d0_map.astype(np.int32),
         depth1=d1_map.astype(np.int32),
+        eom=eom_map,
+        axis_of_additional_plane=add_axis,
+        geo_bits=cfg.geometryBitDepth3D,
     )

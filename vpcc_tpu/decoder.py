@@ -27,7 +27,7 @@ def _pdu_to_patch(pdu: v3c.PatchDataUnit, index: int, vps: v3c.V3CParameterSet) 
     from vpcc_tpu.ops.segmentation import VIEW_AXES
 
     axes = VIEW_AXES[pdu.projection_id]
-    _, na, ta, ba, mode = (int(a) for a in axes)
+    add_axis, na, ta, ba, mode = (int(a) for a in axes)
     size_d = 0 if pdu.range_d == 0 else pdu.range_d * vps.min_level - 1
     dummy = np.full((1, 1), INFINITE_DEPTH, np.int32)
     p = Patch(
@@ -51,6 +51,8 @@ def _pdu_to_patch(pdu: v3c.PatchDataUnit, index: int, vps: v3c.V3CParameterSet) 
         orientation=pdu.orientation,
         size_u0=pdu.size_x_m1 + 1,
         size_v0=pdu.size_y_m1 + 1,
+        axis_of_additional_plane=add_axis,
+        geo_bits=vps.geometry_3d_bitdepth,
     )
     return p
 
@@ -65,6 +67,7 @@ class Decoder:
         vps = None
         tiles: List[v3c.AtlasTileLayer] = []
         occ_sub = None
+        eom_sub = None
         geo_subs = {}
         attr_subs = {}
         for utype, payload in units:
@@ -83,7 +86,11 @@ class Decoder:
                         f"(frames: {[i for i, ok in enumerate(hash_ok) if not ok]})"
                     )
             elif utype == v3c.V3C_OVD:
-                occ_sub = v3c.VideoSubstream.read(br)
+                s = v3c.VideoSubstream.read(br)
+                if s.map_index == 0:
+                    occ_sub = s
+                else:
+                    eom_sub = s
             elif utype == v3c.V3C_GVD:
                 s = v3c.VideoSubstream.read(br)
                 geo_subs[s.map_index] = s
@@ -102,6 +109,9 @@ class Decoder:
         cfg.thresholdSmoothing = float(vps.smoothing_threshold)
         cfg.flagColorSmoothing = vps.color_smoothing_enabled
         cfg.cgridSize = vps.color_smoothing_grid_size
+        cfg.enhancedOccupancyMapCode = 1 if vps.eom_bits else 0
+        if vps.eom_bits:
+            cfg.surfaceThickness = vps.eom_bits + 1
 
         out: List[PointCloudData] = []
         geo_decs = {m: codecs.GeometrySubstreamDecoder(cfg) for m in geo_subs}
@@ -113,6 +123,9 @@ class Decoder:
             occ_video = codecs.decode_occupancy(occ_sub.frames[fi], cfg)
             occ = atlas_mod.upsample_occupancy(occ_video, vps.occupancy_precision)
             height, width = occ.shape
+            eom = None
+            if eom_sub is not None and eom_sub.frames[fi]:
+                eom = codecs.decode_eom_plane(eom_sub.frames[fi])
             geo = []
             for m in sorted(geo_subs):
                 layer_ref = (
@@ -129,7 +142,9 @@ class Decoder:
             )
             cfg.occupancyResolution = vps.occupancy_resolution
             cfg.geometry3dCoordinatesBitdepth = vps.geometry_3d_bitdepth
-            recon = pipeline.reconstruct_frame_device(occ, geo, btp, patches, cfg)
+            recon = pipeline.reconstruct_frame_device(
+                occ, geo, btp, patches, cfg, eom=eom
+            )
             a0 = jnp.asarray(attr[0])
             a1 = jnp.asarray(attr[1]) if len(attr) > 1 else a0
             col_d = pipeline.gather_decoded_colors(recon.pix, recon.layer, a0, a1)

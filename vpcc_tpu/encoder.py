@@ -31,6 +31,7 @@ from vpcc_tpu.ops import neighbors, normals as normals_mod, recolor, voxelize
 from vpcc_tpu.ops.segmentation import (
     get_orientations,
     initial_segmentation,
+    partition_to_view,
     refine_segmentation,
 )
 from vpcc_tpu.utils.config import VPCCConfig
@@ -50,6 +51,7 @@ class EncodedFrame:
     recon: PointCloudData            # encoder-side reconstruction
     raw_positions: "np.ndarray | None" = None
     raw_colors: "np.ndarray | None" = None
+    eom_payload: "bytes | None" = None
 
 
 @dataclasses.dataclass
@@ -184,7 +186,9 @@ class Encoder:
                 break
             new_patches = []
             for comp in comps:
-                view_id = int(partition[comp[0]])
+                view_id = partition_to_view(
+                    int(partition[comp[0]]), cfg.additionalProjectionPlaneMode
+                )
                 p = build_patch_from_component(
                     len(patches) + len(new_patches), positions, colors, comp, view_id, cfg
                 )
@@ -266,10 +270,21 @@ class Encoder:
 
         # --- occupancy video (lossless, at 1/precision resolution)
         t = time.perf_counter()
-        occ_video = atlas_mod.downsample_occupancy(frame.occupancy, cfg.occupancyPrecision)
+        occ_video = atlas_mod.downsample_occupancy(
+            frame.occupancy, cfg.occupancyPrecision,
+            threshold=cfg.thresholdLossyOM if cfg.offsetLossyOM or cfg.thresholdLossyOM else 0,
+        )
         occ_payload = codecs.encode_occupancy(occ_video, cfg)
         occ_dec = codecs.decode_occupancy(occ_payload, cfg)
         occ_rec = atlas_mod.upsample_occupancy(occ_dec, cfg.occupancyPrecision)
+
+        # EOM in-between-point codes (reference: PCCCodec.cpp:671-804);
+        # coded losslessly as a second occupancy-substream map
+        eom_payload = None
+        eom_dec = None
+        if cfg.enhancedOccupancyMapCode and frame.eom is not None:
+            eom_payload = codecs.encode_eom_plane(frame.eom)
+            eom_dec = codecs.decode_eom_plane(eom_payload)
 
         # block-to-patch from DECODED occupancy (same derivation as decoder)
         btp = atlas_mod.derive_block_to_patch(
@@ -292,7 +307,9 @@ class Encoder:
 
         # --- reconstruction + geometry smoothing (device), shared with decoder
         t = time.perf_counter()
-        recon = pipeline.reconstruct_frame_device(occ_rec, geo_dec, btp, patches, cfg)
+        recon = pipeline.reconstruct_frame_device(
+            occ_rec, geo_dec, btp, patches, cfg, eom=eom_dec
+        )
         st.reconstruct_s = time.perf_counter() - t
 
         # --- recolor (device KNN against source; the reconstructed cloud
@@ -376,6 +393,7 @@ class Encoder:
             recon=recon_pc,
             raw_positions=raw_positions,
             raw_colors=raw_colors,
+            eom_payload=eom_payload,
         )
 
     # ------------------------------------------------------------------
@@ -414,6 +432,11 @@ class Encoder:
         vps = v3c.V3CParameterSet(
             frame_width=width,
             frame_height=height,
+            eom_bits=(
+                max(cfg.surfaceThickness - 1, 0)
+                if cfg.enhancedOccupancyMapCode
+                else 0
+            ),
             frame_count=len(frames),
             occupancy_resolution=cfg.occupancyResolution,
             occupancy_precision=cfg.occupancyPrecision,
@@ -461,8 +484,11 @@ class Encoder:
         units.append((v3c.V3C_AD, v3c.write_atlas_substream(tiles, asps, afps)))
 
         # frame dims per frame (padded to common size on decode)
+        ovd_lists = [[e.occupancy_payload for e in encoded]]
+        if cfg.enhancedOccupancyMapCode and encoded[0].eom_payload is not None:
+            ovd_lists.append([e.eom_payload or b"" for e in encoded])
         for unit_type, payload_lists in (
-            (v3c.V3C_OVD, [[e.occupancy_payload for e in encoded]]),
+            (v3c.V3C_OVD, ovd_lists),
             (v3c.V3C_GVD, [[e.geometry_payloads[m] for e in encoded] for m in range(2)]),
             (v3c.V3C_AVD, [[e.attribute_payloads[m] for e in encoded] for m in range(2)]),
         ):

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 # column indices of the patch table (core/atlas.py PATCH_FIELDS)
-_U0, _V0, _SU0, _SV0, _U1, _V1, _D1, _NA, _TA, _BA, _MODE, _OR = range(12)
+(_U0, _V0, _SU0, _SV0, _U1, _V1, _D1, _NA, _TA, _BA, _MODE, _OR,
+ _AXIS45, _GBITS) = range(14)
 
 
 def _canvas_to_patch_uv(lx, ly, su, sv, orient):
@@ -54,7 +55,7 @@ def _canvas_to_patch_uv(lx, ly, su, sv, orient):
     return u, v
 
 
-@functools.partial(jax.jit, static_argnames=("occupancy_resolution",))
+@functools.partial(jax.jit, static_argnames=("occupancy_resolution", "eom_bits"))
 def generate_point_cloud(
     occupancy: jax.Array,       # (H, W) uint8/bool, full resolution
     geometry0: jax.Array,       # (H, W) int32 relative depth D0
@@ -62,13 +63,16 @@ def generate_point_cloud(
     block_to_patch: jax.Array,  # (H/res, W/res) int32, 0 = none
     patch_tbl: jax.Array,       # (P, 12) int32
     occupancy_resolution: int,
+    eom: jax.Array | None = None,   # (H, W) int32 EOM bit codes
+    eom_bits: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Returns (points (H*W, 2, 3) int32, valid (H*W, 2) bool, pixel_xy
-    (H*W, 2) int32, patch_of (H*W,) int32).
+    """Returns (points (H*W, L, 3) int32, valid (H*W, L) bool, pixel_xy
+    (H*W, 2) int32, patch_of (H*W,) int32), L = 2 + eom_bits.
 
-    Layer 0 = D0 point, layer 1 = D1 point (invalid where equal to D0).
-    Flattened in raster order y*W + x; `pixel_xy` carries (x, y) for
-    attribute painting.
+    Layer 0 = D0 point, layer 1 = D1 point (invalid where equal to D0);
+    layers 2..L-1 are EOM in-between points at directed depth D0 + k + 1
+    (reference: PCCCodec.cpp:671-804).  Flattened in raster order y*W + x;
+    `pixel_xy` carries (x, y) for attribute painting.
     """
     h, w = occupancy.shape
     res = occupancy_resolution
@@ -93,19 +97,43 @@ def generate_point_cloud(
     tang = u + prm[..., _U1]
     bitang = v + prm[..., _V1]
 
+    ax45 = prm[..., _AXIS45]
+    s45 = (1 << prm[..., _GBITS]) - 1
+
     def to_xyz(dabs):
         axes = jnp.stack([prm[..., _NA], prm[..., _TA], prm[..., _BA]], -1)  # (H,W,3)
         vals = jnp.stack([dabs, tang, bitang], -1)
-        pt = jnp.zeros((h, w, 3), jnp.int32)
         onehot = jax.nn.one_hot(axes, 3, dtype=jnp.int32)  # (H,W,3,3)
-        return jnp.einsum("hwk,hwkc->hwc", vals, onehot)
+        pt = jnp.einsum("hwk,hwkc->hwc", vals, onehot)
+        # 45-degree planes: exact integer inverse rotation back to the
+        # original frame (reference inverseRotatePosition45DegreeOnAxis,
+        # PCCCodec.cpp:2514; our forward offset S = 2^bits - 1)
+        x, y, z = pt[..., 0], pt[..., 1], pt[..., 2]
+        r1 = jnp.stack([(x - z + s45) >> 1, y, (x + z - s45) >> 1], -1)
+        r2 = jnp.stack([x, (y + z - s45) >> 1, (z - y + s45) >> 1], -1)
+        r3 = jnp.stack([(x + y - s45) >> 1, (y - x + s45) >> 1, z], -1)
+        return jnp.select(
+            [ax45[..., None] == k for k in (1, 2, 3)], [r1, r2, r3], pt
+        )
 
     p0 = to_xyz(dabs0)
     p1 = to_xyz(dabs1)
     valid0 = occ
     valid1 = occ & (geometry1 != geometry0)
 
-    points = jnp.stack([p0, p1], axis=2).reshape(h * w, 2, 3)
-    valid = jnp.stack([valid0, valid1], axis=2).reshape(h * w, 2)
+    layers_p = [p0, p1]
+    layers_v = [valid0, valid1]
+    for k in range(eom_bits):
+        dabs_k = jnp.where(
+            mode == 0,
+            d1 + geometry0 + (k + 1),
+            jnp.maximum(d1 - geometry0 - (k + 1), 0),
+        )
+        layers_p.append(to_xyz(dabs_k))
+        layers_v.append(occ & (((eom >> k) & 1) != 0))
+
+    L = len(layers_p)
+    points = jnp.stack(layers_p, axis=2).reshape(h * w, L, 3)
+    valid = jnp.stack(layers_v, axis=2).reshape(h * w, L)
     pixel_xy = jnp.stack([xs, ys], axis=2).reshape(h * w, 2)
     return points, valid, pixel_xy, pid.reshape(h * w)

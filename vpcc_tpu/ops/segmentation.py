@@ -46,6 +46,16 @@ ORIENTATIONS10_Z = np.concatenate(
 )
 
 
+def partition_to_view(partition: int, additional_plane_mode: int) -> int:
+    """Map a segmentation partition id (0..9) to the VIEW_AXES row.
+    Partitions 6..9 are the 45-degree planes of the configured rotation
+    axis: mode 1 (Y) -> rows 6..9, mode 2 (X) -> 10..13, mode 3 (Z) ->
+    14..17 (reference: PCCPatch.cpp:111 view table)."""
+    if partition < 6 or additional_plane_mode <= 0:
+        return int(partition)
+    return int(partition) + 4 * (additional_plane_mode - 1)
+
+
 def get_orientations(additional_plane_mode: int) -> np.ndarray:
     if additional_plane_mode == 0:
         return ORIENTATIONS6

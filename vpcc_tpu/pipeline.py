@@ -46,10 +46,11 @@ class DeviceRecon:
     count: int
 
 
-@functools.partial(jax.jit, static_argnames=("res",))
-def _recon_phase1(occ, geo0, geo1, btp, ptable, res: int):
+@functools.partial(jax.jit, static_argnames=("res", "eom_bits"))
+def _recon_phase1(occ, geo0, geo1, btp, ptable, res: int, eom=None,
+                  eom_bits: int = 0):
     pts, valid, pix, pid = reconstruct.generate_point_cloud(
-        occ, geo0, geo1, btp, ptable, res
+        occ, geo0, geo1, btp, ptable, res, eom=eom, eom_bits=eom_bits
     )
     bnd = smoothing.boundary_pixels(occ, btp)
     return pts, valid, pix, pid, bnd, valid.sum()
@@ -62,13 +63,18 @@ def _recon_phase2(
     pts, valid, pix, pid, bnd_img, thr,
     bucket: int, do_smooth: bool, grid_size: int, grid_bits: int,
 ):
-    hw2 = pts.shape[0] * 2
+    L = pts.shape[1]
+    hw2 = pts.shape[0] * L
     pos_f = pts.reshape(hw2, 3)
     v = valid.reshape(hw2)
-    pixr = jnp.repeat(pix, 2, axis=0)
-    pidr = jnp.repeat(pid, 2, axis=0)
-    bndr = jnp.repeat(bnd_img.reshape(-1), 2, axis=0)
-    layer = jnp.tile(jnp.asarray([0, 1], jnp.int32), hw2 // 2)
+    pixr = jnp.repeat(pix, L, axis=0)
+    pidr = jnp.repeat(pid, L, axis=0)
+    bndr = jnp.repeat(bnd_img.reshape(-1), L, axis=0)
+    # attribute-gather layer per reconstruction layer: D1 reads attribute
+    # map 1; D0 and the EOM in-between layers read map 0
+    pat = np.zeros(L, np.int32)
+    pat[1] = 1
+    layer = jnp.tile(jnp.asarray(pat), hw2 // L)
 
     order = jnp.argsort(jnp.logical_not(v), stable=True)  # valid first
     sel = order[:bucket]
@@ -94,15 +100,21 @@ def reconstruct_frame_device(
     btp,                     # block-to-patch (host)
     patches: List[Patch],
     cfg: VPCCConfig,
+    eom=None,                # (H, W) int32 EOM codes (host or device)
 ) -> DeviceRecon:
     """generatePointCloud + grid smoothing, all on device."""
     occ_d = jnp.asarray(occ_rec)
     g0 = jnp.asarray(geo_dec[0]).astype(jnp.int32)
     g1 = jnp.asarray(geo_dec[1] if len(geo_dec) > 1 else geo_dec[0]).astype(jnp.int32)
+    eom_bits = 0
+    eom_d = None
+    if eom is not None and cfg.enhancedOccupancyMapCode:
+        eom_d = jnp.asarray(eom).astype(jnp.int32)
+        eom_bits = max(int(cfg.surfaceThickness) - 1, 0)
     outs = _recon_phase1(
         occ_d, g0, g1, jnp.asarray(btp),
         jnp.asarray(atlas_mod.patch_table(patches)),
-        cfg.occupancyResolution,
+        cfg.occupancyResolution, eom=eom_d, eom_bits=eom_bits,
     )
     pts, valid, pix, pid, bnd, cnt = outs
     count = int(cnt)  # the only phase-1 download: one scalar

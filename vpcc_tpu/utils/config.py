@@ -87,6 +87,11 @@ class VPCCConfig:
     occupancyPrecision: int = 4
     occupancyMapConfig: str = ""
     maxCandidateCount: int = 4
+    # lossy occupancy (reference: modifyOccupancyMap offsets,
+    # PCCEncoder.cpp:863-962): a precision block is signalled occupied only
+    # if it contains more than thresholdLossyOM occupied pixels
+    offsetLossyOM: int = 0
+    thresholdLossyOM: int = 0
 
     # --- maps / layers ---
     mapCountMinus1: int = 1

@@ -47,6 +47,28 @@ def decode_occupancy(payload: bytes, cfg: VPCCConfig) -> np.ndarray:
     return entropy.decode_binary_plane(payload[4:], h, w)
 
 
+def encode_eom_plane(eom: np.ndarray) -> bytes:
+    """EOM bit-code plane (mostly zero): adaptive arithmetic coefficient
+    blocks over 64-pixel runs (cbf skips empty blocks)."""
+    from vpcc_tpu.video import entropy
+
+    h, w = eom.shape
+    flat = eom.astype(np.int32).reshape(-1)
+    nb = (flat.size + 63) // 64
+    blocks = np.zeros((nb, 64), np.int32)
+    blocks.reshape(-1)[: flat.size] = flat
+    return struct.pack("<HH", h, w) + entropy.encode_coeffs(blocks)
+
+
+def decode_eom_plane(payload: bytes) -> np.ndarray:
+    from vpcc_tpu.video import entropy
+
+    h, w = struct.unpack("<HH", payload[:4])
+    nb = (h * w + 63) // 64
+    blocks = entropy.decode_coeffs(payload[4:], nb)
+    return blocks.reshape(-1)[: h * w].reshape(h, w).astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # geometry / attribute substreams (stateful)
 
