@@ -46,6 +46,23 @@ def main(argv=None) -> int:
     conf_log = []
     fidx = cfg.startFrameNumber
     done = 0
+    # GOF-granular checkpoint/resume (SURVEY.md §5: a preempted pod slice
+    # resumes at the next GOF; each GOF is a self-contained length-prefixed
+    # sample stream).  --resumeEncoding=1 skips GOFs already on disk.
+    if int(cfg.extra.get("resumeEncoding", "0")) and Path(out_path).exists():
+        existing = Path(out_path).read_bytes()
+        pos = 0
+        while pos + 8 <= len(existing):
+            size = int.from_bytes(existing[pos : pos + 8], "big")
+            if pos + 8 + size > len(existing):
+                break  # truncated tail: re-encode from here
+            pos += 8 + size
+            skip = min(gof, n_frames - done)
+            done += skip
+            fidx += skip
+        all_stream.extend(existing[:pos])
+        if done:
+            print(f"resuming after {done} frames ({pos} bytes on disk)")
     while done < n_frames:
         count = min(gof, n_frames - done)
         frames = []
@@ -55,6 +72,10 @@ def main(argv=None) -> int:
         stream, recons = enc.encode_gof(frames)
         all_stream.extend(len(stream).to_bytes(8, "big"))
         all_stream.extend(stream)
+        Path(out_path).write_bytes(bytes(all_stream))  # checkpoint per GOF
+        stats = getattr(enc, "last_stream_stats", {})
+        print("substream bytes: " + "  ".join(
+            f"{k}={v}" for k, v in stats.items()))
         for i, (r, e) in enumerate(zip(recons, enc.last_encoded)):
             conf_log.append(conformance.frame_log_entries(
                 fidx + i, r, len(e.patches), e.width, e.height))

@@ -25,10 +25,55 @@ _UNIT_NAMES = {
 }
 
 
+# HEVC (ISO/IEC 23008-2 Table 7-1) / AVC NAL type names for annex-B
+# inspection (the PccLibHevcParser / PccLibAvcParser role)
+_HEVC_NAL = {19: "IDR_W_RADL", 20: "IDR_N_LP", 21: "CRA", 32: "VPS",
+             33: "SPS", 34: "PPS", 35: "AUD", 39: "PREFIX_SEI",
+             40: "SUFFIX_SEI", 0: "TRAIL_N", 1: "TRAIL_R"}
+_AVC_NAL = {1: "SLICE", 5: "IDR", 6: "SEI", 7: "SPS", 8: "PPS", 9: "AUD"}
+
+
+def parse_annexb(data: bytes, codec: str = "hevc") -> list:
+    """Scan annex-B start codes and return (offset, size, type, name) per
+    NAL unit (reference: dependencies/PccLibHevcParser,
+    PccAppParser.cpp:50-90)."""
+    out = []
+    starts = []
+    i = 0
+    while i < len(data) - 3:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    starts.append(len(data) + 3)
+    for a, b in zip(starts[:-1], starts[1:]):
+        size = (b - 3) - a
+        if size <= 0:
+            continue
+        if codec == "avc":
+            t = data[a] & 0x1F
+            name = _AVC_NAL.get(t, f"nal_{t}")
+        else:
+            t = (data[a] >> 1) & 0x3F
+            name = _HEVC_NAL.get(t, f"nal_{t}")
+        out.append((a, size, t, name))
+    return out
+
+
 def main(argv=None) -> int:
     cfg = VPCCConfig.from_args(argv if argv is not None else sys.argv[1:])
+    annexb = cfg.extra.get("annexBPath", "")
+    if annexb:
+        data = Path(annexb).read_bytes()
+        codec = cfg.extra.get("videoType", "hevc")
+        nals = parse_annexb(data, codec)
+        for off, size, t, name in nals:
+            print(f"  @{off:9d} {name:12s} ({t:2d}) {size:9d} bytes")
+        print(f"{len(nals)} NAL units, {len(data)} bytes ({codec})")
+        return 0
     if not cfg.compressedStreamPath:
-        print("error: --compressedStreamPath required", file=sys.stderr)
+        print("error: --compressedStreamPath or --annexBPath required", file=sys.stderr)
         return 1
     data = Path(cfg.compressedStreamPath).read_bytes()
     pos = 0
@@ -49,16 +94,13 @@ def main(argv=None) -> int:
                     f"{vps.frame_count} frames, maps {vps.map_count_minus1 + 1}"
                 )
             elif utype == v3c.V3C_AD:
-                br = BitReader(payload)
-                n_tiles = 0
-                n_patches = 0
-                while br.more_data():
-                    t = v3c.AtlasTileLayer.read(br)
-                    n_tiles += 1
-                    n_patches += len(t.patches)
-                    if br.position >= len(payload):
-                        break
-                line += f"  {n_tiles} tile layers, {n_patches} patches"
+                asps, afps, tiles, hash_ok = v3c.read_atlas_substream(payload)
+                n_patches = sum(len(t.patches) for t in tiles)
+                line += (
+                    f"  ASPS {asps.frame_width}x{asps.frame_height}, "
+                    f"{len(tiles)} ATLs, {n_patches} patches, "
+                    f"hash SEI {'OK' if all(hash_ok) else 'MISMATCH'}"
+                )
             print(line)
         gof += 1
     return 0

@@ -519,6 +519,16 @@ class Encoder:
                 units.append((unit_type, bw.getvalue()))
 
         stream = v3c.write_sample_stream(units)
+        # per-substream composition stats (the PCCBitstreamStat equivalent,
+        # reference PCCBitstream.h:48-107, printed at PccAppDecoder.cpp:373)
+        names = {v3c.V3C_VPS: "VPS", v3c.V3C_AD: "AD", v3c.V3C_OVD: "OVD",
+                 v3c.V3C_GVD: "GVD", v3c.V3C_AVD: "AVD"}
+        comp: Dict[str, int] = {}
+        for utype, payload in units:
+            key = names.get(utype, str(utype))
+            comp[key] = comp.get(key, 0) + len(payload)
+        comp["total"] = len(stream)
+        self.last_stream_stats = comp
         for s in self.stats[-len(frames):]:
             s.compressed_bytes = len(stream) // len(frames)
         self.last_encoded = encoded
