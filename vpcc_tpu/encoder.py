@@ -363,6 +363,10 @@ class Encoder:
             exact_idx, has_exact,
             grid_bits=bits,
             k=cfg.numNeighborsColorTransferFwd,
+            max_geom_d2_fwd=cfg.maxGeometryDist2Fwd,
+            max_geom_d2_bwd=cfg.maxGeometryDist2Bwd,
+            max_color_d2_fwd=cfg.maxColorDist2Fwd,
+            dist_offset_fwd=cfg.distOffsetFwd,
         )
 
         # --- attribute videos: paint per-pixel per-layer (device scatter)

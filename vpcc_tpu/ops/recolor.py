@@ -77,6 +77,10 @@ def transfer_colors(
     has_exact: jax.Array,  # (Nt,) bool
     grid_bits: int = 10,
     k: int = 8,
+    max_geom_d2_fwd: float = 1000.0,
+    max_geom_d2_bwd: float = 1000.0,
+    max_color_d2_fwd: float = 1000.0,
+    dist_offset_fwd: float = 4.0,
 ) -> jax.Array:
     """Returns (Nt, 3) int32 colors for the target cloud.
 
@@ -92,25 +96,38 @@ def transfer_colors(
     grid_t = neighbors.build_grid(tgt_pos, grid_bits)
     tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=8)
     return _blend(src_pos, src_col, src_count, tgt_pos, exact_idx, has_exact,
-                  idx, d2, tidx, td2)
+                  idx, d2, tidx, td2,
+                  jnp.float32(max_geom_d2_fwd), jnp.float32(max_geom_d2_bwd),
+                  jnp.float32(max_color_d2_fwd), jnp.float32(dist_offset_fwd))
 
 
 @jax.jit
 def _blend(src_pos, src_col, src_count, tgt_pos, exact_idx, has_exact,
-           idx, d2, tidx, td2):
+           idx, d2, tidx, td2, gd2_fwd, gd2_bwd, cd2_fwd, doff_fwd):
     has_exact = has_exact[:, None]
-    valid = d2 < neighbors.MAX_DIST2
     d2f = d2.astype(jnp.float32)
-    w = valid.astype(jnp.float32) / jnp.maximum(d2f, 1e-8)
-    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-8)
+    # geometry gate (reference maxGeometryDist2Fwd) + distance-offset
+    # weighting (distOffsetFwd): far neighbors never vote
+    valid = (d2 < neighbors.MAX_DIST2) & (d2f <= gd2_fwd)
     cols = src_col[idx].astype(jnp.float32)  # (Nt, k, 3)
+    # color gate (maxColorDist2Fwd): neighbors whose color strays too far
+    # from the nearest neighbor's are outliers across a texture seam
+    c0 = cols[:, 0:1]
+    cdist = jnp.sum((cols - c0) ** 2, axis=-1)
+    valid = valid & (cdist <= cd2_fwd)
+    # always keep the nearest neighbor so the vote is never empty
+    valid = valid.at[:, 0].set(d2[:, 0] < neighbors.MAX_DIST2)
+    w = valid.astype(jnp.float32) / jnp.maximum(d2f + doff_fwd, 1e-8)
+    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-8)
     out = jnp.sum(cols * w[..., None], axis=1) / wsum
     out = jnp.where(has_exact, src_col[exact_idx].astype(jnp.float32), out)
 
     # backward splat: every source point pushes its color to its nearest
-    # target (reference bwd pass of transferColors)
-    svalid = (td2 < neighbors.MAX_DIST2) & (
-        jnp.arange(src_pos.shape[0]) < src_count
+    # target (reference bwd pass of transferColors), geometry-gated
+    svalid = (
+        (td2 < neighbors.MAX_DIST2)
+        & (td2.astype(jnp.float32) <= gd2_bwd)
+        & (jnp.arange(src_pos.shape[0]) < src_count)
     )
     nt = tgt_pos.shape[0]
     acc = jnp.zeros((nt, 3), jnp.float32).at[tidx].add(
