@@ -60,6 +60,7 @@ class EncoderStats:
     patchgen_s: float = 0.0
     packing_s: float = 0.0
     video_s: float = 0.0
+    recolor_s: float = 0.0
     reconstruct_s: float = 0.0
     total_s: float = 0.0
     point_count: int = 0
@@ -368,6 +369,9 @@ class Encoder:
             max_color_d2_fwd=cfg.maxColorDist2Fwd,
             dist_offset_fwd=cfg.distOffsetFwd,
         )
+        rec_col.block_until_ready()
+        st.recolor_s = time.perf_counter() - t
+        t = time.perf_counter()
 
         # --- attribute videos: paint per-pixel per-layer (device scatter)
         img0, img1 = pipeline.paint_attribute(

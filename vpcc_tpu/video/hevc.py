@@ -70,13 +70,6 @@ class _SizeConsts:
 
     def __init__(self, n: int):
         self.n = n
-        idx0, idx1, w0, w1 = tab.angular_taps(n)
-        self.idx0, self.idx1 = jnp.asarray(idx0), jnp.asarray(idx1)
-        self.w0, self.w1 = jnp.asarray(w0), jnp.asarray(w1)
-        pl_left, pl_top, pl_tr, pl_bl = tab.planar_taps(n)
-        self.pl_left, self.pl_top = jnp.asarray(pl_left), jnp.asarray(pl_top)
-        self.pl_tr, self.pl_bl = pl_tr, pl_bl
-        self.dc_shift = n.bit_length()          # log2(n) + 1
         G, rnd, shift = tab.prediction_matrix(n)
         self.G = jnp.asarray(G)
         self.rnd = jnp.asarray(rnd)
