@@ -310,3 +310,37 @@ def test_rate_quality_operating_point_pinned():
     assert bpp < 1.6, bpp
     assert m.c2c_psnr > 52.0, m.summary()
     assert m.color_psnr[0] > 30.5, m.summary()
+
+
+def test_vox11_roundtrip():
+    """vox11 path (S27/S28 class, VERDICT weak item 8): exercises the
+    bits>10 fallbacks — unpacked KNN tables, host exact-match, KNN-based
+    coverage — with encoder/decoder parity."""
+    from vpcc_tpu.utils.ply import PointCloudData
+
+    base = make_sphere_cloud(bits=8, n_samples=25000)
+    # translate a locally-dense surface into the 11-bit coordinate range
+    # (real vox11 content is dense; plain upscaling would break the KNN
+    # window assumption that surface neighbors are adjacent)
+    pos = (base.positions.astype(np.int32) + 1200).clip(0, 2047)
+    src = PointCloudData(pos, base.colors)
+    cfg = small_cfg(geometryQP=22, attributeQP=30)
+    cfg.geometry3dCoordinatesBitdepth = 11
+    cfg.resolution = 2047
+    cfg.minimumImageWidth = 1024
+    cfg.minimumImageHeight = 1024
+    cfg.iterationCountRefineSegmentation = 4
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof([src])
+    decoded = Decoder().decode(stream)
+    a, b = recons[0], decoded[0]
+    assert a.point_count == b.point_count
+    ka = np.lexsort(a.positions.T)
+    kb = np.lexsort(b.positions.T)
+    np.testing.assert_array_equal(a.positions[ka], b.positions[kb])
+    m = compute_metrics(
+        src.positions.astype(np.int32), src.colors,
+        decoded[0].positions.astype(np.int32), decoded[0].colors,
+        resolution=2047, grid_bits=11,
+    )
+    assert m.c2c_psnr > 45.0, m.summary()
