@@ -35,4 +35,7 @@ def test_graft_entry_compiles():
 
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (args[0].shape[0],)
+    # full encode step: (partition, split, modes, coeffs, recon, count, nn)
+    part, split, modes, coeffs, rec, cnt, nn = out
+    assert part.shape == (1, args[0].shape[1])
+    assert int(np.asarray(cnt).sum()) > 0
