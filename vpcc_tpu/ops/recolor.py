@@ -92,9 +92,9 @@ def transfer_colors(
     # KNN sweeps run OUTSIDE jit (they chunk with a python loop; embedding
     # them in a trace would unroll the chunk bodies into one huge program)
     grid_s = neighbors.build_grid(src_pos, grid_bits)
-    idx, d2 = neighbors.knn(grid_s, src_pos, tgt_pos, k=k, bucket=8)
+    idx, d2 = neighbors.knn(grid_s, src_pos, tgt_pos, k=k, bucket=6)
     grid_t = neighbors.build_grid(tgt_pos, grid_bits)
-    tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=8)
+    tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=6)
     return _blend(src_pos, src_col, src_count, tgt_pos, exact_idx, has_exact,
                   idx, d2, tidx, td2,
                   jnp.float32(max_geom_d2_fwd), jnp.float32(max_geom_d2_bwd),
