@@ -165,27 +165,33 @@ class Encoder:
         use_volume = bits3d <= 10
         r2_sel = int(round(cfg.maxAllowedDist2RawPointsSelection))
         r2_det = int(round(cfg.maxAllowedDist2RawPointsDetection))
+        # coverage flags stay device-resident in the volume path: no
+        # per-round active-mask uploads; only seeds (bool) and labels come
+        # down per round
+        cov_sel_dev = jnp.zeros((cap,), bool)
+        cov_det_dev = jnp.zeros((cap,), bool)
         covered_sel = np.zeros(n, bool)
-        covered_det = np.zeros(n, bool)
         dist2 = np.full(n, np.inf)
+        valid_pt = jnp.arange(cap) < n
         patches: List[Patch] = []
         for _round in range(4):
             if use_volume:
-                seeds = ~covered_det
-                active = ~covered_sel
+                seeds = ~np.asarray(cov_det_dev)[:n]
             else:
                 seeds = dist2 > cfg.maxAllowedDist2RawPointsDetection
-                active = dist2 > cfg.maxAllowedDist2RawPointsSelection
             if not seeds.any():
                 break
-            act_dev = jnp.asarray(np.pad(active, (0, cap - n)))
+            if use_volume:
+                act_dev = ~cov_sel_dev & valid_pt
+            else:
+                active = dist2 > cfg.maxAllowedDist2RawPointsSelection
+                act_dev = jnp.asarray(np.pad(active, (0, cap - n)))
             if point_vox is not None:
-                # voxel-graph CC: a voxel is active if any of its points is
-                act_vox = voxelize.scatter_any(point_vox, act_dev, vcap)
-                labels_v = cc_mod.cc_labels_device(
-                    nn_idx_dev, nn_valid_dev, part_dev, act_vox
+                # fused round: voxel active scatter + CC + label gather
+                labels = cc_mod.cc_round_voxel(
+                    nn_idx_dev, nn_valid_dev, part_dev, point_vox,
+                    act_dev, vcap,
                 )
-                labels = voxelize.gather_point_values(labels_v, point_vox)
             else:
                 labels = cc_mod.cc_labels_device(
                     nn_idx_dev, nn_valid_dev, part_dev, act_dev
@@ -224,8 +230,8 @@ class Encoder:
                 s_new, d_new = coverage.covered_radius(
                     rp_dev, pos_dev, bits3d, r2_sel=r2_sel, r2_det=r2_det
                 )
-                covered_sel |= np.asarray(s_new)[:n]
-                covered_det |= np.asarray(d_new)[:n]
+                cov_sel_dev = cov_sel_dev | s_new
+                cov_det_dev = cov_det_dev | d_new
                 continue
             grid_r = neighbors.build_grid(rp_dev, bits3d)
             if _round == 0:
@@ -241,6 +247,7 @@ class Encoder:
             d2h[d2h >= float(neighbors.MAX_DIST2)] = np.inf
             dist2[qsel] = np.minimum(dist2[qsel], d2h)
         if use_volume:
+            covered_sel = np.asarray(cov_sel_dev)[:n]
             return patches, np.where(covered_sel, 0.0, np.inf)
         return patches, dist2
 

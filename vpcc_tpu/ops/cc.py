@@ -174,3 +174,16 @@ def connected_components(
     start = np.searchsorted(pt_comp_sorted, np.arange(len(order)))
     end = np.searchsorted(pt_comp_sorted, np.arange(len(order)) + 1)
     return [idx_sorted[s:e] for s, e in zip(start, end)]
+
+
+@functools.partial(jax.jit, static_argnames=("vcap",))
+def cc_round_voxel(nn_idx, nn_valid, partition, point_vox, act_point, vcap: int):
+    """One fused patch-generation round on the voxel graph: per-point
+    active mask -> voxel active (scatter-OR) -> connected components ->
+    per-point labels.  A single dispatch instead of three (the tunneled
+    device pays ~30ms per eager call)."""
+    act_vox = jnp.zeros((vcap,), bool).at[
+        jnp.clip(point_vox, 0, vcap - 1)
+    ].max(act_point)
+    labels_v = cc_labels_device(nn_idx, nn_valid, partition, act_vox)
+    return labels_v[jnp.clip(point_vox, 0, labels_v.shape[0] - 1)]
