@@ -371,6 +371,7 @@ class Encoder:
             exact_idx, has_exact,
             grid_bits=bits,
             k=cfg.numNeighborsColorTransferFwd,
+            k_bwd=cfg.numNeighborsColorTransferBwd,
             max_geom_d2_fwd=cfg.maxGeometryDist2Fwd,
             max_geom_d2_bwd=cfg.maxGeometryDist2Bwd,
             max_color_d2_fwd=cfg.maxColorDist2Fwd,

@@ -77,6 +77,7 @@ def transfer_colors(
     has_exact: jax.Array,  # (Nt,) bool
     grid_bits: int = 10,
     k: int = 8,
+    k_bwd: int = 1,
     max_geom_d2_fwd: float = 1000.0,
     max_geom_d2_bwd: float = 1000.0,
     max_color_d2_fwd: float = 1000.0,
@@ -93,8 +94,15 @@ def transfer_colors(
     # them in a trace would unroll the chunk bodies into one huge program)
     grid_s = neighbors.build_grid(src_pos, grid_bits)
     idx, d2 = neighbors.knn(grid_s, src_pos, tgt_pos, k=k, bucket=6)
-    grid_t = neighbors.build_grid(tgt_pos, grid_bits)
-    tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=6)
+    if k_bwd > 0:
+        grid_t = neighbors.build_grid(tgt_pos, grid_bits)
+        tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=6)
+    else:
+        # backward splat disabled (numNeighborsColorTransferBwd=0): skip
+        # the reverse nearest sweep (~1.1 s/frame at CTC scale)
+        nt = src_pos.shape[0]
+        tidx = jnp.zeros((nt,), jnp.int32)
+        td2 = jnp.full((nt,), neighbors.MAX_DIST2)
     return _blend(src_pos, src_col, src_count, tgt_pos, exact_idx, has_exact,
                   idx, d2, tidx, td2,
                   jnp.float32(max_geom_d2_fwd), jnp.float32(max_geom_d2_bwd),
