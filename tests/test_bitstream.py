@@ -175,3 +175,26 @@ def test_nal_atlas_substream_roundtrip_and_hash_sei():
     bad[pos + 4 + 10] ^= 0x10
     a3, f3, t3, hash_ok3 = v3c.read_atlas_substream(bytes(bad))
     assert not all(hash_ok3)
+
+
+def test_annexb_parser_hevc_and_avc():
+    """apps/parser.py annex-B scanner (the PccLibHevcParser/AvcParser role):
+    start-code detection (3- and 4-byte), NAL typing for both codecs."""
+    from vpcc_tpu.apps.parser import parse_annexb
+
+    hevc = (
+        b"\x00\x00\x00\x01" + bytes([33 << 1, 1]) + b"sps-payload"
+        + b"\x00\x00\x01" + bytes([34 << 1, 1]) + b"pps"
+        + b"\x00\x00\x01" + bytes([19 << 1, 1]) + b"idr-slice-data"
+    )
+    nals = parse_annexb(hevc, "hevc")
+    assert [n[3] for n in nals] == ["SPS", "PPS", "IDR_W_RADL"]
+    assert [n[1] for n in nals] == [13, 5, 16]
+
+    avc = (
+        b"\x00\x00\x00\x01" + bytes([0x67]) + b"sps"
+        + b"\x00\x00\x01" + bytes([0x68]) + b"pps"
+        + b"\x00\x00\x01" + bytes([0x65]) + b"idr"
+    )
+    nals = parse_annexb(avc, "avc")
+    assert [n[3] for n in nals] == ["SPS", "PPS", "IDR"]
