@@ -146,8 +146,33 @@ class Encoder:
     ) -> List[Patch]:
         """Patch rounds (reference 'while rawPoints' loop,
         PCCPatchSegmenter.cpp:804-1320).  Connected components run ON
-        DEVICE (ops/cc.py cc_labels_device); only the (N,) label vector is
-        downloaded per round."""
+        DEVICE; rounds after the first COMPACT the few-percent active
+        subgraph before labeling (ops/cc.py cc_round_voxel_compact), and
+        coverage dilates only the new points' x-slab of the bit volume —
+        together ~4x less device time than full-graph/full-volume rounds."""
+        cfg = self.cfg
+        bits3d = cfg.geometryBitDepth3D
+        # thresholded coverage via bit-volume dilation (ops/coverage.py)
+        # when the volume fits; exact-distance KNN fallback for vox11+
+        if bits3d <= 10:
+            return self._generate_patches_volume(pc_host, partition, dev_graph)
+        return self._generate_patches_knn(pc_host, partition, dev_graph)
+
+    def _build_components(self, positions, colors, partition, comps, patches):
+        cfg = self.cfg
+        new_patches = []
+        for comp in comps:
+            view_id = partition_to_view(
+                int(partition[comp[0]]), cfg.additionalProjectionPlaneMode
+            )
+            p = build_patch_from_component(
+                len(patches) + len(new_patches), positions, colors, comp, view_id, cfg
+            )
+            if p is not None:
+                new_patches.append(p)
+        return new_patches
+
+    def _generate_patches_volume(self, pc_host, partition, dev_graph):
         cfg = self.cfg
         part_dev, nn_idx_dev, nn_valid_dev, point_vox, pos_dev = dev_graph
         vcap = int(nn_idx_dev.shape[0])
@@ -160,34 +185,105 @@ class Encoder:
         )
         n = positions.shape[0]
         bits3d = cfg.geometryBitDepth3D
-        # thresholded coverage via bit-volume dilation (ops/coverage.py)
-        # when the volume fits; exact-distance KNN fallback for vox11+
-        use_volume = bits3d <= 10
         r2_sel = int(round(cfg.maxAllowedDist2RawPointsSelection))
         r2_det = int(round(cfg.maxAllowedDist2RawPointsDetection))
-        # coverage flags stay device-resident in the volume path: no
-        # per-round active-mask uploads; only seeds (bool) and labels come
-        # down per round
+        r_det = int(np.floor(np.sqrt(r2_det)))
         cov_sel_dev = jnp.zeros((cap,), bool)
         cov_det_dev = jnp.zeros((cap,), bool)
-        covered_sel = np.zeros(n, bool)
-        dist2 = np.full(n, np.inf)
         valid_pt = jnp.arange(cap) < n
+        # entity = voxel when grid-based segmentation voxelized the cloud,
+        # else the points themselves (identity map)
+        ident = point_vox is None
+        pvox = jnp.arange(cap, dtype=jnp.int32) if ident else point_vox
+        pv_host = None  # point->voxel map, downloaded once on first need
         patches: List[Patch] = []
         for _round in range(4):
-            if use_volume:
-                seeds = ~np.asarray(cov_det_dev)[:n]
+            if _round == 0:
+                seeds = np.ones(n, bool)
+                act_vox0 = (
+                    valid_pt
+                    if ident
+                    else jnp.zeros((vcap,), bool)
+                    .at[jnp.clip(pvox, 0, vcap - 1)]
+                    .max(valid_pt)
+                )
+                lab_h = np.asarray(
+                    cc_mod.cc_labels_device(
+                        nn_idx_dev, nn_valid_dev, part_dev, act_vox0
+                    )
+                )
+                if not ident:
+                    pv_host = np.minimum(np.asarray(point_vox), vcap - 1)
+                labels_pt = lab_h[:n] if ident else lab_h[pv_host[:n]]
             else:
-                seeds = dist2 > cfg.maxAllowedDist2RawPointsDetection
+                seeds_d, act_vox, n_act_d, _n_unc = cc_mod.round_stats(
+                    cov_sel_dev, cov_det_dev, pvox, valid_pt, vcap=vcap
+                )
+                seeds = np.asarray(seeds_d)[:n]
+                n_act = int(n_act_d)
+                if not seeds.any() or n_act == 0:
+                    break
+                acap = shape_bucket(n_act)
+                sub_d, lab_d = cc_mod.cc_round_voxel_compact(
+                    nn_idx_dev, nn_valid_dev, part_dev, act_vox, acap
+                )
+                sub_h, labc_h = np.asarray(sub_d), np.asarray(lab_d)
+                lab_full = np.full(vcap + 1, vcap, np.int32)
+                m = sub_h < vcap
+                lab_full[sub_h[m]] = labc_h[m]
+                labels_pt = lab_full[np.arange(n) if ident else pv_host[:n]]
+            comps = cc_mod.components_from_labels(
+                labels_pt, seeds,
+                cfg.minPointCountPerCCPatchSegmentation,
+                sentinel=vcap,
+            )
+            if not comps:
+                break
+            new_patches = self._build_components(
+                positions, colors, partition, comps, patches
+            )
+            if not new_patches:
+                break
+            patches.extend(new_patches)
+            # coverage update over the new patches' resampled points: a
+            # bit-volume ball dilation cropped to their x-slab
+            res_pts = [pp for p in new_patches for pp in p.generate_points()[:2]]
+            res_pts = np.concatenate([r for r in res_pts if len(r)], axis=0)
+            rcap = shape_bucket(len(res_pts))
+            rp_dev = jnp.asarray(coverage.pack_coords10(res_pts, rcap))
+            x0, sx = coverage.slab_params(res_pts, bits3d, r=r_det)
+            s_new, d_new = coverage.covered_radius_slab(
+                rp_dev, pos_dev, jnp.int32(x0), bits3d, r2_sel, r2_det, sx
+            )
+            cov_sel_dev = cov_sel_dev | s_new
+            cov_det_dev = cov_det_dev | d_new
+        covered_sel = np.asarray(cov_sel_dev)[:n]
+        return patches, np.where(covered_sel, 0.0, np.inf)
+
+    def _generate_patches_knn(self, pc_host, partition, dev_graph):
+        """Exact-distance KNN coverage fallback for vox11+ (the bit volume
+        would exceed the HBM budget)."""
+        cfg = self.cfg
+        part_dev, nn_idx_dev, nn_valid_dev, point_vox, pos_dev = dev_graph
+        vcap = int(nn_idx_dev.shape[0])
+        cap = vcap if point_vox is None else int(point_vox.shape[0])
+        positions = np.asarray(pc_host.positions, np.int32)
+        colors = (
+            pc_host.colors
+            if pc_host.colors is not None
+            else np.zeros_like(positions, np.uint8)
+        )
+        n = positions.shape[0]
+        bits3d = cfg.geometryBitDepth3D
+        dist2 = np.full(n, np.inf)
+        patches: List[Patch] = []
+        for _round in range(4):
+            seeds = dist2 > cfg.maxAllowedDist2RawPointsDetection
             if not seeds.any():
                 break
-            if use_volume:
-                act_dev = ~cov_sel_dev & valid_pt
-            else:
-                active = dist2 > cfg.maxAllowedDist2RawPointsSelection
-                act_dev = jnp.asarray(np.pad(active, (0, cap - n)))
+            active = dist2 > cfg.maxAllowedDist2RawPointsSelection
+            act_dev = jnp.asarray(np.pad(active, (0, cap - n)))
             if point_vox is not None:
-                # fused round: voxel active scatter + CC + label gather
                 labels = cc_mod.cc_round_voxel(
                     nn_idx_dev, nn_valid_dev, part_dev, point_vox,
                     act_dev, vcap,
@@ -203,36 +299,18 @@ class Encoder:
             )
             if not comps:
                 break
-            new_patches = []
-            for comp in comps:
-                view_id = partition_to_view(
-                    int(partition[comp[0]]), cfg.additionalProjectionPlaneMode
-                )
-                p = build_patch_from_component(
-                    len(patches) + len(new_patches), positions, colors, comp, view_id, cfg
-                )
-                if p is not None:
-                    new_patches.append(p)
+            new_patches = self._build_components(
+                positions, colors, partition, comps, patches
+            )
             if not new_patches:
                 break
             patches.extend(new_patches)
-            # coverage update: distance to the resampled cloud of the NEW
-            # patches.  Round 0 queries the device-resident source cloud
-            # directly (no re-upload); later rounds query just the small
-            # still-uncovered subset (dist2 is a running minimum).
             res_pts = [pp for p in new_patches for pp in p.generate_points()[:2]]
             res_pts = np.concatenate([r for r in res_pts if len(r)], axis=0)
             rcap = shape_bucket(len(res_pts))
             rp = np.full((rcap, 3), PAD_COORD, np.int32)
             rp[: len(res_pts)] = res_pts
             rp_dev = jnp.asarray(rp)
-            if use_volume:
-                s_new, d_new = coverage.covered_radius(
-                    rp_dev, pos_dev, bits3d, r2_sel=r2_sel, r2_det=r2_det
-                )
-                cov_sel_dev = cov_sel_dev | s_new
-                cov_det_dev = cov_det_dev | d_new
-                continue
             grid_r = neighbors.build_grid(rp_dev, bits3d)
             if _round == 0:
                 qsel = np.arange(n)
@@ -246,9 +324,6 @@ class Encoder:
             d2h = np.asarray(d2)[: len(qsel)].astype(np.float64)
             d2h[d2h >= float(neighbors.MAX_DIST2)] = np.inf
             dist2[qsel] = np.minimum(dist2[qsel], d2h)
-        if use_volume:
-            covered_sel = np.asarray(cov_sel_dev)[:n]
-            return patches, np.where(covered_sel, 0.0, np.inf)
         return patches, dist2
 
     # ------------------------------------------------------------------
@@ -356,8 +431,18 @@ class Encoder:
         sc_dev = jnp.asarray(sc)
         src_valid = jnp.arange(src_cap) < pc_host.point_count
         if bits <= 10:
-            exact_idx, has_exact = recolor.exact_matches_device(
-                sp_dev, src_valid, recon.pos, bits
+            # compaction-accelerated path: exact matches (most points in
+            # the lossless-geometry direction) skip the KNN sweeps entirely
+            rec_col, _ = recolor.transfer_colors_compact(
+                sp_dev, sc_dev, jnp.asarray(pc_host.point_count),
+                recon.pos, jnp.asarray(recon.count),
+                grid_bits=bits,
+                k=cfg.numNeighborsColorTransferFwd,
+                k_bwd=cfg.numNeighborsColorTransferBwd,
+                max_geom_d2_fwd=cfg.maxGeometryDist2Fwd,
+                max_geom_d2_bwd=cfg.maxGeometryDist2Bwd,
+                max_color_d2_fwd=cfg.maxColorDist2Fwd,
+                dist_offset_fwd=cfg.distOffsetFwd,
             )
         else:
             ei, he = recolor.exact_matches(
@@ -365,18 +450,18 @@ class Encoder:
                 pc_host.point_count, bits,
             )
             exact_idx, has_exact = jnp.asarray(ei), jnp.asarray(he)
-        rec_col = recolor.transfer_colors(
-            sp_dev, sc_dev, jnp.asarray(pc_host.point_count),
-            recon.pos, jnp.asarray(recon.count),
-            exact_idx, has_exact,
-            grid_bits=bits,
-            k=cfg.numNeighborsColorTransferFwd,
-            k_bwd=cfg.numNeighborsColorTransferBwd,
-            max_geom_d2_fwd=cfg.maxGeometryDist2Fwd,
-            max_geom_d2_bwd=cfg.maxGeometryDist2Bwd,
-            max_color_d2_fwd=cfg.maxColorDist2Fwd,
-            dist_offset_fwd=cfg.distOffsetFwd,
-        )
+            rec_col = recolor.transfer_colors(
+                sp_dev, sc_dev, jnp.asarray(pc_host.point_count),
+                recon.pos, jnp.asarray(recon.count),
+                exact_idx, has_exact,
+                grid_bits=bits,
+                k=cfg.numNeighborsColorTransferFwd,
+                k_bwd=cfg.numNeighborsColorTransferBwd,
+                max_geom_d2_fwd=cfg.maxGeometryDist2Fwd,
+                max_geom_d2_bwd=cfg.maxGeometryDist2Bwd,
+                max_color_d2_fwd=cfg.maxColorDist2Fwd,
+                dist_offset_fwd=cfg.distOffsetFwd,
+            )
         rec_col.block_until_ready()
         st.recolor_s = time.perf_counter() - t
         t = time.perf_counter()

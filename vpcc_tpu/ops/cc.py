@@ -177,6 +177,51 @@ def connected_components(
 
 
 @functools.partial(jax.jit, static_argnames=("vcap",))
+def round_stats(cov_sel, cov_det, point_vox, valid_pt, vcap: int):
+    """Fused per-round bookkeeping: seeds (per point), the active-voxel
+    scatter, and the two counts the host needs to size this round's
+    compact buffers (active voxels, uncovered points).  One dispatch +
+    one small download per round."""
+    act_point = ~cov_sel & valid_pt
+    act_vox = jnp.zeros((vcap,), bool).at[
+        jnp.clip(point_vox, 0, vcap - 1)
+    ].max(act_point)
+    seeds = ~cov_det & valid_pt
+    return seeds, act_vox, jnp.sum(act_vox), jnp.sum(act_point)
+
+
+@functools.partial(jax.jit, static_argnames=("acap",))
+def cc_round_voxel_compact(
+    nn_idx: jax.Array,     # (V, K) int32 voxel KNN
+    nn_valid: jax.Array,   # (V, K) bool
+    partition: jax.Array,  # (V,) int32
+    act_vox: jax.Array,    # (V,) bool — active voxels this round
+    acap: int,             # compact capacity (>= popcount(act_vox))
+) -> jax.Array:
+    """Connected components restricted to the active voxels, computed on a
+    COMPACTED subgraph: later patch rounds activate only a few percent of
+    the voxels, so propagating labels over the full (V, K) graph wastes
+    ~10x the gather traffic.  Returns (sub_vox (acap,), labels (acap,)):
+    the active voxel ids and their component labels in the ORIGINAL
+    voxel-id space (min active voxel id per component; padding -> V) —
+    only these two small arrays cross the tunnel per round."""
+    vcap = nn_idx.shape[0]
+    sub_vox = jnp.nonzero(act_vox, size=acap, fill_value=vcap)[0].astype(jnp.int32)
+    valid_sub = sub_vox < vcap
+    safe_sub = jnp.minimum(sub_vox, vcap - 1)
+    inv = jnp.full((vcap,), acap, jnp.int32).at[safe_sub].set(
+        jnp.where(valid_sub, jnp.arange(acap, dtype=jnp.int32), acap)
+    )
+    nn_sub = nn_idx[safe_sub]                       # (acap, K) original ids
+    nn_new = inv[jnp.clip(nn_sub, 0, vcap - 1)]     # compact ids or acap
+    v_sub = nn_valid[safe_sub] & (nn_new < acap) & valid_sub[:, None]
+    p_sub = partition[safe_sub]
+    lab_c = cc_labels_device(jnp.minimum(nn_new, acap - 1), v_sub, p_sub, valid_sub)
+    lab_orig = jnp.where(lab_c < acap, sub_vox[jnp.minimum(lab_c, acap - 1)], vcap)
+    return sub_vox, lab_orig
+
+
+@functools.partial(jax.jit, static_argnames=("vcap",))
 def cc_round_voxel(nn_idx, nn_valid, partition, point_vox, act_point, vcap: int):
     """One fused patch-generation round on the voxel graph: per-point
     active mask -> voxel active (scatter-OR) -> connected components ->

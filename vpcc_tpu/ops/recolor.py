@@ -109,6 +109,134 @@ def transfer_colors(
                   jnp.float32(max_color_d2_fwd), jnp.float32(dist_offset_fwd))
 
 
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _exact_and_counts(src_pos, src_valid, tgt_pos, tgt_count, bits: int):
+    """Exact matching + the two compaction counts in ONE dispatch:
+    (exact_idx, has_exact, n_inexact_targets, n_unmatched_sources)."""
+    exact_idx, has_exact = exact_matches_device(src_pos, src_valid, tgt_pos, bits)
+    tgt_valid = jnp.arange(tgt_pos.shape[0]) < tgt_count
+    inexact = ~has_exact & tgt_valid
+    matched_src = (
+        jnp.zeros((src_pos.shape[0],), bool).at[exact_idx].max(has_exact)
+    )
+    unmatched = ~matched_src & src_valid
+    return exact_idx, has_exact, inexact, unmatched, jnp.sum(inexact), jnp.sum(unmatched)
+
+
+@functools.partial(jax.jit, static_argnames=("icap", "k", "grid_bits"))
+def _fwd_compact(src_pos, src_col_u8, tgt_pos, inexact, icap: int, k: int,
+                 grid_bits: int, gd2_fwd, cd2_fwd, doff_fwd):
+    """Forward sweep on the COMPACTED inexact targets only: targets with
+    an exact source match take that color verbatim, so the k-NN vote (the
+    most expensive gather in the encoder) runs only on the remainder.
+    Returns (iidx (icap,), colors (icap, 3) f32)."""
+    nt = tgt_pos.shape[0]
+    iidx = jnp.nonzero(inexact, size=icap, fill_value=nt)[0].astype(jnp.int32)
+    ivalid = iidx < nt
+    q = jnp.where(
+        ivalid[:, None], tgt_pos[jnp.minimum(iidx, nt - 1)], jnp.int32(-(1 << 20))
+    )
+    grid_s = neighbors.build_grid(src_pos, grid_bits)
+    idx, d2 = neighbors.knn(grid_s, src_pos, q, k=k, bucket=6)
+    d2f = d2.astype(jnp.float32)
+    valid = (d2 < neighbors.MAX_DIST2) & (d2f <= gd2_fwd)
+    cols = src_col_u8[idx].astype(jnp.float32)
+    c0 = cols[:, 0:1]
+    cdist = jnp.sum((cols - c0) ** 2, axis=-1)
+    valid = valid & (cdist <= cd2_fwd)
+    valid = valid.at[:, 0].set(d2[:, 0] < neighbors.MAX_DIST2)
+    w = valid.astype(jnp.float32) / jnp.maximum(d2f + doff_fwd, 1e-8)
+    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-8)
+    out = jnp.sum(cols * w[..., None], axis=1) / wsum
+    return iidx, out
+
+
+@functools.partial(jax.jit, static_argnames=("ucap", "grid_bits"))
+def _bwd_and_merge(src_pos, src_col_u8, tgt_pos, unmatched, exact_idx,
+                   has_exact, iidx, fwd_cols, ucap: int, grid_bits: int,
+                   gd2_bwd):
+    """Backward splat from the COMPACTED unmatched sources (a matched
+    source's nearest target is its exact twin, which keeps the exact color
+    verbatim — its splat is provably ignored, so skipping it is bit-exact),
+    then the final merge: exact / fwd / 0.5*(fwd+bwd)."""
+    ns, nt = src_pos.shape[0], tgt_pos.shape[0]
+    uidx = jnp.nonzero(unmatched, size=ucap, fill_value=ns)[0].astype(jnp.int32)
+    uvalid = uidx < ns
+    safe_u = jnp.minimum(uidx, ns - 1)
+    us_pos = jnp.where(uvalid[:, None], src_pos[safe_u], jnp.int32(-(1 << 20)))
+    grid_t = neighbors.build_grid(tgt_pos, grid_bits)
+    tidx, td2 = neighbors.nearest(grid_t, tgt_pos, us_pos, bucket=6)
+    svalid = (td2 < neighbors.MAX_DIST2) & (td2.astype(jnp.float32) <= gd2_bwd) & uvalid
+    ucols = src_col_u8[safe_u].astype(jnp.float32)
+    acc = jnp.zeros((nt, 3), jnp.float32).at[tidx].add(ucols * svalid[:, None])
+    cnt = jnp.zeros((nt,), jnp.float32).at[tidx].add(svalid.astype(jnp.float32))
+    bwd = acc / jnp.maximum(cnt, 1.0)[:, None]
+
+    fwd_full = jnp.zeros((nt, 3), jnp.float32).at[iidx].set(
+        fwd_cols, mode="drop"
+    )
+    out = jnp.where(
+        has_exact[:, None], src_col_u8[exact_idx].astype(jnp.float32), fwd_full
+    )
+    has_bwd = (cnt > 0) & ~has_exact
+    blended = jnp.where(has_bwd[:, None], 0.5 * (out + bwd), out)
+    return jnp.clip(jnp.round(blended), 0, 255).astype(jnp.int32)
+
+
+def transfer_colors_compact(
+    src_pos: jax.Array,    # (Ns, 3) int32 padded
+    src_col_u8: jax.Array,  # (Ns, 3) uint8
+    src_count,
+    tgt_pos: jax.Array,    # (Nt, 3) int32 padded
+    tgt_count,
+    grid_bits: int = 10,
+    k: int = 8,
+    k_bwd: int = 1,
+    max_geom_d2_fwd: float = 1000.0,
+    max_geom_d2_bwd: float = 1000.0,
+    max_color_d2_fwd: float = 1000.0,
+    dist_offset_fwd: float = 4.0,
+):
+    """Compaction-accelerated transfer_colors for grids <= 10 bits: the
+    exact-match shortcut usually covers most reconstructed points, so the
+    KNN sweeps run only on the inexact remainder (targets) / unmatched
+    remainder (sources).  Bit-identical to `transfer_colors` by
+    construction.  Returns ((Nt, 3) int32 colors, (exact_idx, has_exact))."""
+    from vpcc_tpu.core.pointcloud import shape_bucket
+
+    src_valid = jnp.arange(src_pos.shape[0]) < src_count
+    exact_idx, has_exact, inexact, unmatched, n_in_d, n_un_d = _exact_and_counts(
+        src_pos, src_valid, tgt_pos, tgt_count, grid_bits
+    )
+    n_in, n_un = int(n_in_d), int(n_un_d)  # one sync sizes both buffers
+    icap = shape_bucket(n_in)
+    iidx, fwd_cols = _fwd_compact(
+        src_pos, src_col_u8, tgt_pos, inexact, icap, k, grid_bits,
+        jnp.float32(max_geom_d2_fwd), jnp.float32(max_color_d2_fwd),
+        jnp.float32(dist_offset_fwd),
+    )
+    if k_bwd > 0:
+        ucap = shape_bucket(n_un)
+        return (
+            _bwd_and_merge(
+                src_pos, src_col_u8, tgt_pos, unmatched, exact_idx, has_exact,
+                iidx, fwd_cols, ucap, grid_bits, jnp.float32(max_geom_d2_bwd),
+            ),
+            (exact_idx, has_exact),
+        )
+    nt = tgt_pos.shape[0]
+    fwd_full = jnp.zeros((nt, 3), jnp.float32).at[iidx].set(
+        fwd_cols, mode="drop"
+    )
+    out = jnp.where(
+        has_exact[:, None], src_col_u8[exact_idx].astype(jnp.float32), fwd_full
+    )
+    return (
+        jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32),
+        (exact_idx, has_exact),
+    )
+
+
 @jax.jit
 def _blend(src_pos, src_col, src_count, tgt_pos, exact_idx, has_exact,
            idx, d2, tidx, td2, gd2_fwd, gd2_bwd, cd2_fwd, doff_fwd):
