@@ -468,6 +468,57 @@ int64_t vpcc_hevc_encode(const int32_t* split, const int32_t* m16,
   return (int64_t)enc.out.size();
 }
 
+// Motion vectors: one (dy, dx) pair per CU whose decoded mode set uses the
+// inter lane.  Components are coded as deltas from the previous inter CU's
+// MV (raster order): significance bit (adaptive, per component), bypass
+// sign, Exp-Golomb magnitude-1.  Mirrors HM's MVD coding role for the
+// wavefront codec's per-CU motion field.
+int64_t vpcc_mv_encode(const int32_t* inter, const int32_t* mv, int64_t nb,
+                       uint8_t* out, int64_t capacity) {
+  Encoder enc;
+  uint16_t sig[2] = {kHalf, kHalf};
+  int32_t pred[2] = {0, 0};
+  for (int64_t i = 0; i < nb; i++) {
+    if (!inter[i]) continue;
+    for (int c = 0; c < 2; c++) {
+      int32_t d = mv[i * 2 + c] - pred[c];
+      enc.bit(d != 0, &sig[c]);
+      if (d != 0) {
+        enc.bypass(d < 0);
+        enc.eg0((uint32_t)(d < 0 ? -d : d) - 1);
+      }
+      pred[c] = mv[i * 2 + c];
+    }
+  }
+  enc.flush();
+  if ((int64_t)enc.out.size() > capacity) return -1;
+  std::memcpy(out, enc.out.data(), enc.out.size());
+  return (int64_t)enc.out.size();
+}
+
+int64_t vpcc_mv_decode(const uint8_t* data, int64_t size, const int32_t* inter,
+                       int32_t* mv, int64_t nb) {
+  Decoder dec;
+  dec.init(data, (size_t)size);
+  uint16_t sig[2] = {kHalf, kHalf};
+  int32_t pred[2] = {0, 0};
+  std::memset(mv, 0, (size_t)nb * 2 * sizeof(int32_t));
+  for (int64_t i = 0; i < nb; i++) {
+    if (!inter[i]) continue;
+    for (int c = 0; c < 2; c++) {
+      int32_t d = 0;
+      if (dec.bit(&sig[c])) {
+        int neg = dec.bypass();
+        d = (int32_t)(dec.eg0() + 1);
+        if (neg) d = -d;
+      }
+      mv[i * 2 + c] = pred[c] + d;
+      pred[c] = mv[i * 2 + c];
+    }
+  }
+  return 0;
+}
+
 int64_t vpcc_hevc_decode(const uint8_t* data, int64_t size, int32_t* split,
                          int32_t* m16, int32_t* c16, int32_t* m8, int32_t* c8,
                          int64_t nby, int64_t nbx) {

@@ -65,6 +65,37 @@ def test_inter_mode_compresses_static_frame():
     assert len(p2) < len(p1) * 0.25, (len(p2), len(p1))
 
 
+def test_motion_compensation_beats_zero_mv():
+    """A globally shifted frame: the MV search (hevc._motion_search,
+    reference role: HM motion estimation, PCCHMLibVideoEncoderImpl.cpp:92)
+    must find the displacement, beat the zero-MV inter payload, and keep
+    bit-exact encoder/decoder parity including the coded MV field."""
+    rng = np.random.default_rng(3)
+    H, W = 64, 96
+    base = (np.add.outer(np.arange(H) * 2, np.arange(W)) % 200).astype(np.int32)
+    tex = rng.integers(0, 40, (H + 16, W + 16))
+    f0 = np.clip(base + tex[8 : 8 + H, 8 : 8 + W], 0, 255).astype(np.int32)
+    f1 = np.clip(base + tex[5 : 5 + H, 13 : 13 + W], 0, 255).astype(np.int32)
+    _, r0 = hevc.encode_planes(f0[None], [30], [255])
+    pz, rz = hevc.encode_planes(f1[None], [30], [255], refs=r0, motion=False)
+    pm, rm = hevc.encode_planes(f1[None], [30], [255], refs=r0, motion=True)
+    dm = np.asarray(hevc.decode_planes(pm, refs=r0))
+    np.testing.assert_array_equal(np.asarray(rm), dm)
+    mse_z = ((np.asarray(rz)[0] - f1) ** 2).mean()
+    mse_m = ((np.asarray(rm)[0] - f1) ** 2).mean()
+    assert len(pm) < len(pz) * 0.8 and mse_m <= mse_z * 1.05, (
+        len(pm), len(pz), mse_m, mse_z,
+    )
+
+
+def test_decode_inter_without_refs_raises():
+    img = _test_image(64, 64)
+    _, r0 = hevc.encode_planes([img], [28], [255])
+    p1, _ = hevc.encode_planes([img], [28], [255], refs=r0)
+    with pytest.raises(ValueError):
+        hevc.decode_planes(p1, refs=None)
+
+
 def test_batched_planes_parity():
     a = _test_image(96, 96, seed=1)
     b = _test_image(96, 96, seed=2)

@@ -104,6 +104,7 @@ class GeometrySubstreamEncoder:
 
         maxval = (1 << cfg.geometryBitDepth2D) - 1
         ref = None
+        motion = False
         if layer_ref is not None and tuple(layer_ref.shape) == tuple(geo.shape):
             # inter-layer prediction: D1 from D0 (reference
             # predictGeometryFrame, PCCEncoder.cpp:4064) beats temporal
@@ -113,11 +114,13 @@ class GeometrySubstreamEncoder:
             and self.ref is not None
             and tuple(self.ref.shape) == tuple(geo.shape)
         ):
+            # temporal P-frame: motion-compensated block matching
             ref = self.ref
+            motion = True
         payload, rec = hevc.encode_planes(
             jnp.asarray(geo)[None], [cfg.geometryQP], [maxval],
             refs=None if ref is None else ref[None],
-            occ=occ, deblock=False, weight=weight,
+            occ=occ, deblock=False, weight=weight, motion=motion,
         )
         self.ref = rec[0]
         return bytes([v3c.CODEC_TPU_HEVC]) + payload, rec[0].astype(jnp.uint16)
@@ -183,6 +186,7 @@ class AttributeSubstreamEncoder:
         from vpcc_tpu.video import hevc
 
         refs = None
+        motion = False
         if layer_ref is not None and tuple(layer_ref.shape[:2]) == tuple(attr.shape[:2]):
             # inter-layer: T1 predicted from decoded T0 (reference
             # predictAttributeFrame, PCCEncoder.cpp:3994)
@@ -192,9 +196,12 @@ class AttributeSubstreamEncoder:
             and self.refs is not None
             and tuple(self.refs[0].shape[1:]) == tuple(attr.shape[:2])
         ):
+            # temporal P-frame: motion-compensated block matching
             refs = self.refs
+            motion = True
         payload, dec_rgb, new_refs = hevc.encode_rgb(
-            attr, qp=cfg.attributeQP, occ=occ, refs=refs, weight=weight
+            attr, qp=cfg.attributeQP, occ=occ, refs=refs, weight=weight,
+            motion=motion,
         )
         self.refs = new_refs
         return bytes([v3c.CODEC_TPU_HEVC]) + payload, dec_rgb
@@ -215,11 +222,9 @@ class AttributeSubstreamDecoder:
             delta = lossless.decode_plane(payload[1:])
             return ((delta.astype(np.int16) + np.asarray(layer_ref).astype(np.int16)) % 256).astype(np.uint8)
         if codec == v3c.CODEC_TPU_HEVC:
-            import struct as _s
-
             from vpcc_tpu.video import hevc
 
-            h, w = _s.unpack("<HH", payload[9:13])  # luma header after the 8-byte index
+            h, w = hevc.peek_rgb_dims(payload[1:])
             refs = None
             if layer_ref is not None and tuple(layer_ref.shape[:2]) == (h, w):
                 refs = hevc.rgb_refs(layer_ref)

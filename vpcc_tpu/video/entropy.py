@@ -62,6 +62,16 @@ def _load():
             p32, p32, p32, p32, p32,
             ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.vpcc_mv_encode.restype = ctypes.c_int64
+        lib.vpcc_mv_encode.argtypes = [
+            p32, p32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib.vpcc_mv_decode.restype = ctypes.c_int64
+        lib.vpcc_mv_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            p32, p32, ctypes.c_int64,
+        ]
         lib.vpcc_encode_binary_plane.restype = ctypes.c_int64
         lib.vpcc_encode_binary_plane.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
@@ -116,14 +126,19 @@ def encode_hevc_plane(nby, nbx, split, m16, c16, m8, c8) -> bytes:
     c = np.ascontiguousarray(m8, np.int32)
     d = np.ascontiguousarray(c8, np.int32)
     cap = max(nby * nbx * 640, 1 << 16)
-    out = np.empty(cap, np.uint8)
-    n = lib.vpcc_hevc_encode(
-        _i32p(s), _i32p(a), _i32p(b), _i32p(c), _i32p(d), nby, nbx,
-        _u8p(out), cap,
-    )
-    if n < 0:
-        raise RuntimeError("entropy buffer overflow")
-    return out[:n].tobytes()
+    # worst-case CABAC output on a high-entropy plane can exceed the
+    # heuristic cap: the C side returns -1 cleanly, so grow and retry
+    # instead of aborting the encode
+    for _ in range(6):
+        out = np.empty(cap, np.uint8)
+        n = lib.vpcc_hevc_encode(
+            _i32p(s), _i32p(a), _i32p(b), _i32p(c), _i32p(d), nby, nbx,
+            _u8p(out), cap,
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+        cap *= 2
+    raise RuntimeError("entropy buffer overflow")
 
 
 def decode_hevc_plane(data: bytes, nby: int, nbx: int):
@@ -140,6 +155,31 @@ def decode_hevc_plane(data: bytes, nby: int, nbx: int):
         _i32p(m8), _i32p(c8), nby, nbx,
     )
     return split, m16, c16, m8, c8
+
+
+def encode_mvs(inter: np.ndarray, mv: np.ndarray) -> bytes:
+    """inter: (nb,) int32 0/1 per CU; mv: (nb, 2) int32.  MVs of CUs whose
+    chosen modes use the inter lane, delta-coded in raster order."""
+    lib = _load()
+    i = np.ascontiguousarray(inter, np.int32)
+    m = np.ascontiguousarray(mv, np.int32)
+    nb = i.shape[0]
+    cap = max(nb * 8, 1 << 12)
+    out = np.empty(cap, np.uint8)
+    n = lib.vpcc_mv_encode(_i32p(i), _i32p(m), nb, _u8p(out), cap)
+    if n < 0:
+        raise RuntimeError("entropy buffer overflow")
+    return out[:n].tobytes()
+
+
+def decode_mvs(data: bytes, inter: np.ndarray) -> np.ndarray:
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    i = np.ascontiguousarray(inter, np.int32)
+    nb = i.shape[0]
+    mv = np.zeros((nb, 2), np.int32)
+    lib.vpcc_mv_decode(_u8p(buf), len(buf), _i32p(i), _i32p(mv), nb)
+    return mv
 
 
 def encode_binary_plane(plane: np.ndarray) -> bytes:

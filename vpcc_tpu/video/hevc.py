@@ -59,6 +59,7 @@ from vpcc_tpu.video import hevc_tables as tab
 CU = 16                      # top CU size
 SUB = 8                      # split block size
 SUB_OFF = ((0, 0), (0, 8), (8, 0), (8, 8))  # z-order
+MV_RANGE = 8                 # integer-pel motion search window (+-R)
 
 _MODE_BITS = np.full(tab.N_MODES, 5.0, np.float32)
 _MODE_BITS[0] = _MODE_BITS[1] = 3.0   # planar/DC: usually MPM-coded
@@ -172,6 +173,73 @@ def _deblock(rec, qps, maxvals):
     rec = filter_axis(rec)
     rec = filter_axis(rec.transpose(0, 2, 1)).transpose(0, 2, 1)
     return rec
+
+
+# ---------------------------------------------------------------------------
+# Motion estimation (the HM motion-search equivalent, reference
+# PCCHMLibVideoEncoderImpl.cpp:92-197).  TPU-first: instead of HM's
+# sequential TZ search per block, ALL CUs evaluate ALL (2R+1)^2 candidate
+# displacements as a compiled lax.fori_loop of full-plane shifted-SAD
+# passes (shift = one dynamic_slice of the padded reference; per-CU SAD =
+# one reshape-sum) — pure VPU work, no data-dependent control flow.  The
+# winning MV per CU then builds the motion-compensated prediction plane
+# with ONE 2D gather, which simply replaces the co-located reference in
+# the wavefront's inter candidate lane.
+
+def _mv_bits_np(R: int) -> np.ndarray:
+    """Approximate signed Exp-Golomb bin count per MV component value."""
+    v = np.arange(-R, R + 1)
+    a = np.abs(v)
+    return np.where(v == 0, 1.0, 3.0 + 2.0 * np.floor(np.log2(np.maximum(a, 1)))).astype(np.float32)
+
+
+def _motion_search(src, ref, lam, R: int, nby: int, nbx: int):
+    """src/ref: (P, Hp, Wp) int32.  lam: (P,) f32.  Returns
+    (mv (P, nb, 2) int32, mvcost (P, nb) f32 = lam * mv bits)."""
+    P, Hp, Wp = src.shape
+    nb = nby * nbx
+    w = 2 * R + 1
+    padr = jnp.pad(ref, ((0, 0), (R, R), (R, R)), mode="edge")
+    bits1 = jnp.asarray(_mv_bits_np(R))
+    srcf = src.astype(jnp.int32)
+
+    def body(i, carry):
+        best_cost, best_i = carry
+        dy = i // w - R
+        dx = i % w - R
+        sh = jax.lax.dynamic_slice(padr, (0, R + dy, R + dx), (P, Hp, Wp))
+        sad = (
+            jnp.abs(srcf - sh)
+            .reshape(P, nby, CU, nbx, CU)
+            .sum((2, 4))
+            .reshape(P, nb)
+            .astype(jnp.float32)
+        )
+        mvb = bits1[i // w] + bits1[i % w]
+        cost = sad + lam[:, None] * mvb
+        better = cost < best_cost
+        return jnp.where(better, cost, best_cost), jnp.where(better, i, best_i)
+
+    init = (jnp.full((P, nb), jnp.inf, jnp.float32), jnp.zeros((P, nb), jnp.int32))
+    _, best_i = jax.lax.fori_loop(0, w * w, body, init)
+    mv = jnp.stack([best_i // w - R, best_i % w - R], -1)  # (P, nb, 2)
+    mvcost = lam[:, None] * (bits1[best_i // w] + bits1[best_i % w])
+    return mv, mvcost
+
+
+def _apply_motion(ref, mv, R: int, nby: int, nbx: int):
+    """Build the MC prediction plane: per-pixel gather of the reference at
+    each CU's MV.  Deterministic and shared by encoder and decoder."""
+    P, Hp, Wp = ref.shape
+    padr = jnp.pad(ref, ((0, 0), (R, R), (R, R)), mode="edge")
+    yy = jnp.arange(Hp, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    bi = (yy // CU) * nbx + (xx // CU)            # (Hp, Wp)
+    dy = mv[:, :, 0][:, bi]                        # (P, Hp, Wp)
+    dx = mv[:, :, 1][:, bi]
+    iy = jnp.clip(yy[None] + R + dy, 0, Hp + 2 * R - 1)
+    ix = jnp.clip(xx[None] + R + dx, 0, Wp + 2 * R - 1)
+    return jax.vmap(lambda p, a, b: p[a, b])(padr, iy, ix)
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +364,7 @@ def _pad_rows(x, fill):
 
 @functools.lru_cache(maxsize=64)
 def _build_encode(P: int, H: int, W: int, deblock: bool,
-                  has_occ: bool, has_weight: bool):
+                  has_occ: bool, has_weight: bool, motion: bool = False):
     # constants must be concrete even when this builder is first
     # invoked inside an outer trace (the lru_cache would otherwise
     # leak tracers into later calls)
@@ -333,14 +401,23 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
         initv = ((maxvals + 1) // 2).astype(jnp.int32)          # (P,)
         initc = initv[:, None, None]
         src_blk = _pad_rows(_to_blocks(planes), initc)
-        ref_blk = _pad_rows(_to_blocks(refs), initc)
-        w16_all, w8_all = _block_weights(weights, nby, nbx)
-        blk = jnp.broadcast_to(initc, (P, nb + 2, CC)).astype(jnp.int32)
         dq = dq_tab[jnp.clip(qps, 0, 51)]
         qstep = dq.astype(jnp.float32) / 64.0
         inv_q = 1.0 / qstep
         lam = lam_tab[jnp.clip(qps, 0, 51)]
         inter_pen = jnp.where(has_ref, 0.0, jnp.float32(1e30))
+        if motion:
+            mv, mvcost = _motion_search(planes, refs, lam, MV_RANGE, nby, nbx)
+            refs = _apply_motion(refs, mv, MV_RANGE, nby, nbx)
+        else:
+            mv = jnp.zeros((P, nb, 2), jnp.int32)
+            mvcost = jnp.zeros((P, nb), jnp.float32)
+        mvc_all = jnp.concatenate(
+            [mvcost, jnp.zeros((P, 2), jnp.float32)], axis=1
+        )
+        ref_blk = _pad_rows(_to_blocks(refs), initc)
+        w16_all, w8_all = _block_weights(weights, nby, nbx)
+        blk = jnp.broadcast_to(initc, (P, nb + 2, CC)).astype(jnp.int32)
 
         # compact outputs: only the CHOSEN branch is downloaded (int8/int16)
         # — the device->host tunnel (~10-40 MB/s) is the pipeline bottleneck
@@ -361,12 +438,14 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
             ref16 = gather(ref_blk, bidx)
             w16 = gather(w16_all, bidx)
             w8 = gather(w8_all, bidx)                          # (P,B,4)
+            mvc = gather(mvc_all, bidx)                        # (P,B)
 
             # ---- 16x16 candidate
             refs16 = _refs16(up, upleft, upright, left, initc)
             allp16 = _predict_all(refs16, ref16, C16)
             m16, lev16, pred16, cost16 = _rd_choose(
-                src16, allp16, w16, qstep, inv_q, lam, inter_pen, mode_bits, C16
+                src16, allp16, w16, qstep, inv_q, lam,
+                inter_pen + mvc, mode_bits, C16
             )
 
             # ---- four 8x8 sub-blocks in z-order, entirely in registers
@@ -380,7 +459,7 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
                 allp8 = _predict_all(refs8, _quadrant(ref16, s), C8)
                 m8, lev8, pred8, cost8 = _rd_choose(
                     _quadrant(src16, s), allp8, w8[:, :, s], qstep, inv_q,
-                    lam, inter_pen, mode_bits, C8,
+                    lam, inter_pen + 0.25 * mvc, mode_bits, C8,
                 )
                 rec8 = _int_recon(lev8, pred8, dq, maxvals, C8)
                 cur = cur.at[:, :, dy : dy + SUB, dx : dx + SUB].set(
@@ -422,14 +501,14 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
             rec = _deblock(rec, qps, maxvals)
         return (
             split_out[:, :nb], modes_out[:, :nb], coeff_out[:, :nb],
-            rec[:, :H, :W],
+            rec[:, :H, :W], mv.astype(jnp.int8),
         )
 
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_decode(P: int, H: int, W: int, deblock: bool):
+def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False):
     # constants must be concrete even when this builder is first
     # invoked inside an outer trace (the lru_cache would otherwise
     # leak tracers into later calls)
@@ -445,13 +524,15 @@ def _build_decode(P: int, H: int, W: int, deblock: bool):
         inv_zz8 = jnp.asarray(np.argsort(tab.zigzag(SUB)).astype(np.int32))
         dq_tab = jnp.asarray(tab.DQ64)
 
-    def run(split, modes, coeffs, qps, refs, maxvals):
+    def run(split, modes, coeffs, qps, refs, maxvals, mv):
         # compact upload format (int8 split/modes, int16 combined coeffs):
         # the unused branch of each CU reconstructs garbage and is masked
         # by the split select, exactly as on the encoder side
         refs = refs.astype(jnp.int32)
         if (Hp, Wp) != (H, W):
             refs = jnp.pad(refs, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+        if motion:
+            refs = _apply_motion(refs, mv.astype(jnp.int32), MV_RANGE, nby, nbx)
         initv = ((maxvals + 1) // 2).astype(jnp.int32)
         initc = initv[:, None, None]
         ref_blk = _pad_rows(_to_blocks(refs), initc)
@@ -528,6 +609,16 @@ def _build_decode(P: int, H: int, W: int, deblock: bool):
 
 FLAG_INTER = 1
 FLAG_DEBLOCK = 2
+FLAG_MC = 4  # motion-compensated inter (per-CU MVs follow each plane blob)
+
+
+def _inter_flags(split, modes):
+    """(nb,) int32: 1 where the CU's chosen coding uses the inter mode
+    anywhere (16x16 mode or any 8x8 sub-mode) — those CUs carry an MV."""
+    spl = split != 0
+    any8 = (modes == tab.MODE_INTER).any(axis=1)
+    is16 = modes[:, 0] == tab.MODE_INTER
+    return np.where(spl, any8, is16).astype(np.int32)
 
 
 def _round_int_plane(plane, occ):
@@ -546,12 +637,16 @@ def encode_planes(
     occ=None,
     deblock: bool = True,
     weight=None,
+    motion: bool = False,
 ) -> Tuple[bytes, jax.Array]:
     """Encode a (P, H, W) stack of integer planes sharing one shape.
 
     qps/maxvals: per-plane int lists.  refs: optional (P, H, W) int32
-    previous reconstructions (enables the zero-MV inter mode).  occ:
-    optional (H, W) occupancy for background fill.  weight: optional
+    previous reconstructions (enables the inter mode).  motion: run the
+    (2*MV_RANGE+1)^2 block-matching search over `refs` and code per-CU MVs
+    (temporal prediction); motion=False keeps the zero-MV co-located inter
+    (inter-layer D1-from-D0 / T1-from-T0 prediction).  occ: optional
+    (H, W) occupancy for background fill.  weight: optional
     (H, W) 0/1 distortion-relevance mask (pixels that generate points —
     normally the DECODED occupancy); background blocks get ~free
     distortion in the RD mode decision.  Returns
@@ -564,9 +659,16 @@ def encode_planes(
             planes = planes[None]
     P, H, W = planes.shape
     assert H % SUB == 0 and W % SUB == 0, (H, W)
+    # integer-exactness of the f32 prediction matmul needs pre-shift sums
+    # < 2^16 (_predict_all), which bounds samples to ~11 bits; fail loudly
+    # on unsupported bit depths rather than silently losing parity
+    assert max(int(m) for m in maxvals) <= 2047, (
+        "sample bit depth > 11 voids the integer-exact prediction matmul"
+    )
     has_ref = refs is not None
     has_occ = occ is not None
     has_weight = weight is not None
+    motion = bool(motion and has_ref)
     refs_a = (
         jnp.asarray(refs) if has_ref else jnp.zeros((P, H, W), jnp.int32)
     )
@@ -574,17 +676,22 @@ def encode_planes(
     w_a = jnp.asarray(weight) if has_weight else jnp.zeros((1, 1), jnp.int32)
     qps_a = jnp.asarray(np.asarray(qps, np.int32))
     mv_a = jnp.asarray(np.asarray(maxvals, np.int32))
-    fn = _build_encode(P, H, W, deblock, has_occ, has_weight)
-    split, modes, coeffs, rec = fn(
+    fn = _build_encode(P, H, W, deblock, has_occ, has_weight, motion)
+    split, modes, coeffs, rec, mvs = fn(
         planes, qps_a, refs_a, jnp.asarray(bool(has_ref)), mv_a, occ_a, w_a
     )
-    for a in (split, modes, coeffs):
+    for a in (split, modes, coeffs, mvs):
         a.copy_to_host_async()
     split_h = np.asarray(split).astype(np.int32)
     modes_h = np.asarray(modes).astype(np.int32)
     coeff_h = np.asarray(coeffs).astype(np.int32)
+    mv_h = np.asarray(mvs).astype(np.int32)
     nby, nbx = -(-H // CU), -(-W // CU)
-    flags = (FLAG_INTER if has_ref else 0) | (FLAG_DEBLOCK if deblock else 0)
+    flags = (
+        (FLAG_INTER if has_ref else 0)
+        | (FLAG_DEBLOCK if deblock else 0)
+        | (FLAG_MC if motion else 0)
+    )
     out = bytearray()
     out += struct.pack("<HHBB", H, W, P, flags)
     for p in range(P):
@@ -594,6 +701,12 @@ def encode_planes(
         )
         out += struct.pack("<BHI", int(qps[p]), int(maxvals[p]), len(blob))
         out += blob
+        if motion:
+            mvblob = entropy.encode_mvs(
+                _inter_flags(split_h[p], modes_h[p]), mv_h[p]
+            )
+            out += struct.pack("<I", len(mvblob))
+            out += mvblob
     return bytes(out), rec
 
 
@@ -605,11 +718,15 @@ def decode_planes(payload: bytes, refs=None) -> jax.Array:
     Wp = -(-W // CU) * CU
     nby, nbx = Hp // CU, Wp // CU
     nb = nby * nbx
+    motion = bool(flags & FLAG_MC)
+    if (flags & FLAG_INTER) and refs is None:
+        raise ValueError("inter-coded payload requires refs")
     qps = np.zeros(P, np.int32)
     maxvals = np.zeros(P, np.int32)
     split = np.zeros((P, nb), np.int8)
     modes = np.zeros((P, nb, 4), np.int8)
     coeff = np.zeros((P, nb, CU * CU), np.int16)
+    mv = np.zeros((P, nb, 2), np.int8)
     for p in range(P):
         qps[p], maxvals[p], ln = struct.unpack("<BHI", payload[pos : pos + 7])
         pos += 7
@@ -625,14 +742,22 @@ def decode_planes(payload: bytes, refs=None) -> jax.Array:
         coeff[p] = np.where(
             spl[:, None], c8_.reshape(nb, CU * CU), c16_
         ).astype(np.int16)
+        if motion:
+            (mvln,) = struct.unpack("<I", payload[pos : pos + 4])
+            pos += 4
+            inter = _inter_flags(split[p].astype(np.int32), m4)
+            mv[p] = entropy.decode_mvs(
+                payload[pos : pos + mvln], inter
+            ).astype(np.int8)
+            pos += mvln
     if flags & FLAG_INTER:
         refs_a = jnp.asarray(refs)
     else:
         refs_a = jnp.zeros((P, H, W), jnp.int32)
-    fn = _build_decode(P, H, W, bool(flags & FLAG_DEBLOCK))
+    fn = _build_decode(P, H, W, bool(flags & FLAG_DEBLOCK), motion)
     return fn(
         jnp.asarray(split), jnp.asarray(modes), jnp.asarray(coeff),
-        jnp.asarray(qps), refs_a, jnp.asarray(maxvals),
+        jnp.asarray(qps), refs_a, jnp.asarray(maxvals), jnp.asarray(mv),
     )
 
 
@@ -685,11 +810,12 @@ def rgb_refs(rgb):
 
 
 def encode_rgb(attr, qp: int, occ=None, refs=None, deblock: bool = True,
-               weight=None):
+               weight=None, motion: bool = False):
     """(H, W, 3) RGB -> (payload, decoded RGB uint8 ON DEVICE, refs).
     refs = (y_recon (1,H,W), c_recon (2,H/2,W/2)) from the previous frame
-    enables the zero-MV inter mode.  weight: (H, W) relevance mask for
-    occupancy-weighted RDO (see encode_planes)."""
+    enables the inter mode (motion=True adds the block-matching MV search).
+    weight: (H, W) relevance mask for occupancy-weighted RDO
+    (see encode_planes)."""
     occ_d = None if occ is None else jnp.asarray(occ)
     y, cb, cr = _rgb_to_int_planes(jnp.asarray(attr), occ_d)
     cqp = min(qp + 3, 51)
@@ -702,14 +828,21 @@ def encode_rgb(attr, qp: int, occ=None, refs=None, deblock: bool = True,
         h, w = wy.shape
         wc = wy.reshape(h // 2, 2, w // 2, 2).max((1, 3))
     py, recy = encode_planes(y[None], [qp], [255], refs=ry, deblock=deblock,
-                             weight=wy)
+                             weight=wy, motion=motion)
     pc, recc = encode_planes(
         jnp.stack([cb, cr]), [cqp, cqp], [255, 255], refs=rc, deblock=deblock,
-        weight=wc,
+        weight=wc, motion=motion,
     )
     payload = struct.pack("<II", len(py), len(pc)) + py + pc
     rgb = _int_planes_to_rgb(recy[0], recc[0], recc[1])
     return payload, rgb, (recy, recc)
+
+
+def peek_rgb_dims(payload: bytes) -> Tuple[int, int]:
+    """(H, W) of the luma plane inside an encode_rgb payload, without
+    decoding.  Keeps the nested-layout knowledge next to its definition
+    (encode_rgb writes <II index, then the luma encode_planes header)."""
+    return struct.unpack("<HH", payload[8:12])
 
 
 def decode_rgb(payload: bytes, refs=None):
