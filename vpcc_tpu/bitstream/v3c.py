@@ -159,6 +159,11 @@ class PatchDataUnit:
     # the matched patch in the previous tile's patch list (reference:
     # inter patch ref index, PCCDecoder.cpp:829-1213)
     ref_index: int = -1
+    # PLR data (serialized only when the ASPS PLR flag is on; reference
+    # PLRData written per patch, PCCBitstreamWriter.cpp plrData)
+    plr_level: int = 1
+    plr_mode: int = 0
+    plr_block_modes: Optional[np.ndarray] = None  # patch-space raster
 
     def fields(self):
         return (
@@ -199,6 +204,41 @@ class PatchDataUnit:
         return p
 
 
+def _write_plr(bw: BitWriter, p: PatchDataUnit) -> None:
+    """PLR data unit (reference plrData syntax): level flag, then one
+    patch mode or per-block present+mode over the patch's block grid."""
+    bw.u(1, 1 if p.plr_level else 0)
+    if p.plr_level:
+        bw.u(1, 1 if p.plr_mode > 0 else 0)
+        if p.plr_mode > 0:
+            bw.ue(p.plr_mode - 1)
+        return
+    nb = (p.size_x_m1 + 1) * (p.size_y_m1 + 1)
+    modes = (
+        np.zeros(nb, np.int32)
+        if p.plr_block_modes is None
+        else np.asarray(p.plr_block_modes, np.int32).ravel()
+    )
+    for i in range(nb):
+        m = int(modes[i]) if i < len(modes) else 0
+        bw.u(1, 1 if m > 0 else 0)
+        if m > 0:
+            bw.ue(m - 1)
+
+
+def _read_plr(br: BitReader, p: PatchDataUnit) -> None:
+    p.plr_level = br.u(1)
+    if p.plr_level:
+        p.plr_mode = br.ue() + 1 if br.u(1) else 0
+        return
+    nb = (p.size_x_m1 + 1) * (p.size_y_m1 + 1)
+    modes = np.zeros(nb, np.int32)
+    for i in range(nb):
+        if br.u(1):
+            modes[i] = br.ue() + 1
+    p.plr_block_modes = modes
+
+
 def _nblocks64(n: int) -> int:
     return (n + 63) // 64
 
@@ -233,6 +273,7 @@ class AtlasTileLayer:
     geometry_bits: int = 10
     tile_type: int = TILE_I
     ref_patches: Optional[List[PatchDataUnit]] = None  # prev tile (P-tiles)
+    plr_enabled: int = 0  # from ASPS; set by the substream writer/reader
 
     def _patch_mode(self, p: PatchDataUnit) -> int:
         """SKIP if the matched reference predicts every field exactly;
@@ -259,19 +300,25 @@ class AtlasTileLayer:
         for p in self.patches:
             if self.tile_type == TILE_I:
                 p.write(bw)
+                if self.plr_enabled:
+                    _write_plr(bw, p)
                 continue
             mode = self._patch_mode(p)
             bw.ue(mode)
             if mode == PATCH_INTRA:
                 p.write(bw)
+                if self.plr_enabled:
+                    _write_plr(bw, p)
                 continue
             bw.se(p.ref_index - expected_ref)
             expected_ref = p.ref_index + 1
-            if mode == PATCH_SKIP:
-                continue
-            q = self.ref_patches[p.ref_index]
-            for a, b in zip(p.fields(), q.fields()):
-                bw.se(a - b)
+            if mode != PATCH_SKIP:
+                q = self.ref_patches[p.ref_index]
+                for a, b in zip(p.fields(), q.fields()):
+                    bw.se(a - b)
+            # PLR modes are frame-local: coded even for SKIP patches
+            if self.plr_enabled:
+                _write_plr(bw, p)
         nraw = 0 if self.raw_positions is None else len(self.raw_positions)
         bw.ue(nraw)
         if nraw:
@@ -301,8 +348,9 @@ class AtlasTileLayer:
         bw.byte_align()
 
     @classmethod
-    def read(cls, br: BitReader, ref_patches=None) -> "AtlasTileLayer":
+    def read(cls, br: BitReader, ref_patches=None, plr_enabled: int = 0) -> "AtlasTileLayer":
         t = cls()
+        t.plr_enabled = plr_enabled
         t.frame_index = br.ue()
         t.tile_type = br.u(1)
         n = br.ue()
@@ -310,11 +358,17 @@ class AtlasTileLayer:
         expected_ref = 0
         for _ in range(n):
             if t.tile_type == TILE_I:
-                t.patches.append(PatchDataUnit.read(br))
+                p = PatchDataUnit.read(br)
+                if plr_enabled:
+                    _read_plr(br, p)
+                t.patches.append(p)
                 continue
             mode = br.ue()
             if mode == PATCH_INTRA:
-                t.patches.append(PatchDataUnit.read(br))
+                p = PatchDataUnit.read(br)
+                if plr_enabled:
+                    _read_plr(br, p)
+                t.patches.append(p)
                 continue
             ref_idx = expected_ref + br.se()
             expected_ref = ref_idx + 1
@@ -328,6 +382,8 @@ class AtlasTileLayer:
                 vals = [v + br.se() for v in vals]
             (p.pos_x, p.pos_y, p.size_x_m1, p.size_y_m1, p.offset_u,
              p.offset_v, p.offset_d, p.range_d, p.size_u, p.size_v) = vals
+            if plr_enabled:
+                _read_plr(br, p)
             t.patches.append(p)
         nraw = br.ue()
         if nraw:
@@ -366,6 +422,13 @@ class AtlasSequenceParameterSet:
     eom_patch_enabled_flag: int = 0
     plr_enabled_flag: int = 0
     extended_projection_enabled_flag: int = 0  # 45-degree planes
+    # PLR information (reference PLRInformation / asps_plr_* syntax,
+    # PCCBitstreamWriter.cpp plrInformation): number of modes, the
+    # per-mode (interpolate, filling, minD1, neighbor) table, and the
+    # small-patch block threshold for patch-level modes
+    plr_num_modes: int = 6
+    plr_block_threshold: int = 9
+    plr_mode_table: Optional[np.ndarray] = None  # (M, 4) int32
 
     def write(self, bw: BitWriter) -> None:
         bw.ue(self.asps_id)
@@ -377,6 +440,19 @@ class AtlasSequenceParameterSet:
         bw.u(4, self.map_count_minus1)
         bw.u(1, self.eom_patch_enabled_flag)
         bw.u(1, self.plr_enabled_flag)
+        if self.plr_enabled_flag:
+            bw.u(4, self.plr_num_modes - 1)
+            bw.ue(self.plr_block_threshold)
+            tbl = self.plr_mode_table
+            if tbl is None:
+                from vpcc_tpu.ops.plr import MODE_TABLE
+
+                tbl = MODE_TABLE[: self.plr_num_modes]
+            for row in np.asarray(tbl, np.int32):
+                bw.u(1, int(row[0]))
+                bw.u(1, int(row[1]))
+                bw.ue(int(row[2]))
+                bw.u(2, int(row[3]) - 1)
         bw.u(1, self.extended_projection_enabled_flag)
         bw.byte_align()
 
@@ -392,6 +468,16 @@ class AtlasSequenceParameterSet:
         a.map_count_minus1 = br.u(4)
         a.eom_patch_enabled_flag = br.u(1)
         a.plr_enabled_flag = br.u(1)
+        if a.plr_enabled_flag:
+            a.plr_num_modes = br.u(4) + 1
+            a.plr_block_threshold = br.ue()
+            tbl = np.zeros((a.plr_num_modes, 4), np.int32)
+            for i in range(a.plr_num_modes):
+                tbl[i, 0] = br.u(1)
+                tbl[i, 1] = br.u(1)
+                tbl[i, 2] = br.ue()
+                tbl[i, 3] = br.u(2) + 1
+            a.plr_mode_table = tbl
         a.extended_projection_enabled_flag = br.u(1)
         br.byte_align()
         return a
@@ -460,6 +546,7 @@ def write_atlas_substream(
     afps.write(b)
     _write_nal(bw, NAL_AFPS, b.getvalue())
     for fi, t in enumerate(tiles):
+        t.plr_enabled = asps.plr_enabled_flag
         b = BitWriter()
         t.write(b)
         _write_nal(bw, NAL_IDR_N_LP if fi == 0 else NAL_TRAIL_N, b.getvalue())
@@ -490,7 +577,10 @@ def read_atlas_substream(payload: bytes):
         elif nal_type == NAL_AFPS:
             afps = AtlasFrameParameterSet.read(body)
         elif nal_type in (NAL_IDR_N_LP, NAL_TRAIL_N):
-            t = AtlasTileLayer.read(body, ref_patches=prev)
+            t = AtlasTileLayer.read(
+                body, ref_patches=prev,
+                plr_enabled=asps.plr_enabled_flag if asps else 0,
+            )
             tiles.append(t)
             prev = t.patches
         elif nal_type == NAL_SUFFIX_NSEI:

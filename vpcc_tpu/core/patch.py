@@ -116,6 +116,12 @@ class Patch:
     # rotation axis (Y/X/Z); patch-local coords live in the rotated frame
     axis_of_additional_plane: int = 0
     geo_bits: int = 10  # 3D bit depth (for the rotation offset)
+    # PLR (point local reconstruction, single-map mode): patch-level flag,
+    # patch-level mode, and per-block modes in patch-space raster order
+    # (reference PLRData, PCCEncoder.cpp:7886-7925)
+    plr_level: int = 1
+    plr_mode: int = 0
+    plr_block_modes: Optional[np.ndarray] = None
 
     def __post_init__(self):
         res = self.occupancy_resolution

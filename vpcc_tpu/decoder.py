@@ -53,6 +53,9 @@ def _pdu_to_patch(pdu: v3c.PatchDataUnit, index: int, vps: v3c.V3CParameterSet) 
         size_v0=pdu.size_y_m1 + 1,
         axis_of_additional_plane=add_axis,
         geo_bits=vps.geometry_3d_bitdepth,
+        plr_level=pdu.plr_level,
+        plr_mode=pdu.plr_mode,
+        plr_block_modes=pdu.plr_block_modes,
     )
     return p
 
@@ -65,6 +68,7 @@ class Decoder:
     def decode(self, stream: bytes) -> List[PointCloudData]:
         units = v3c.read_sample_stream(stream)
         vps = None
+        asps = None
         tiles: List[v3c.AtlasTileLayer] = []
         occ_sub = None
         eom_sub = None
@@ -142,8 +146,17 @@ class Decoder:
             )
             cfg.occupancyResolution = vps.occupancy_resolution
             cfg.geometry3dCoordinatesBitdepth = vps.geometry_3d_bitdepth
+            plr_modes = plr_table = None
+            if asps is not None and asps.plr_enabled_flag:
+                from vpcc_tpu.ops import plr as plr_mod
+
+                plr_modes = plr_mod.block_modes_from_patches(
+                    patches, btp, *btp.shape
+                )
+                plr_table = asps.plr_mode_table
             recon = pipeline.reconstruct_frame_device(
-                occ, geo, btp, patches, cfg, eom=eom
+                occ, geo, btp, patches, cfg, eom=eom,
+                plr_modes=plr_modes, plr_table=plr_table,
             )
             a0 = jnp.asarray(attr[0])
             a1 = jnp.asarray(attr[1]) if len(attr) > 1 else a0

@@ -396,10 +396,17 @@ class Encoder:
         )
 
         # --- geometry videos: fused device fill+DCT+quant, host entropy,
-        # temporal prediction via the per-substream encoder state
+        # temporal prediction via the per-substream encoder state.  PLR
+        # (pointLocalReconstruction) switches to single-map coding: only D0
+        # is sent and the second layer is re-created from per-block modes
+        # (reference mapCountMinus1=0 + PLR, PCCEncoder.cpp:5379)
+        plr_on = bool(cfg.pointLocalReconstruction) and not cfg.enhancedOccupancyMapCode
+        geo_layers = (("geo0", frame.geometry0),) if plr_on else (
+            ("geo0", frame.geometry0), ("geo1", frame.geometry1),
+        )
         geo_payloads = []
         geo_dec = []
-        for name, g in (("geo0", frame.geometry0), ("geo1", frame.geometry1)):
+        for name, g in geo_layers:
             payload, dec = streams[name].encode(
                 g, occ=frame.occupancy,
                 layer_ref=geo_dec[0] if geo_dec else None,
@@ -411,8 +418,28 @@ class Encoder:
 
         # --- reconstruction + geometry smoothing (device), shared with decoder
         t = time.perf_counter()
+        plr_modes = None
+        if plr_on:
+            from vpcc_tpu.ops import plr as plr_mod
+
+            ntbl = max(min(int(cfg.plrlNumberOfModes), len(plr_mod.MODE_TABLE)), 1)
+            block_modes_d, patch_level_d, patch_modes_d = plr_mod.rdo(
+                jnp.asarray(geo_dec[0]).astype(jnp.int32),
+                jnp.asarray(frame.geometry0).astype(jnp.int32),
+                jnp.asarray(frame.geometry1).astype(jnp.int32),
+                jnp.asarray(occ_rec), jnp.asarray(btp),
+                jnp.asarray(plr_mod.MODE_TABLE[:ntbl]),
+                cfg.occupancyResolution, int(cfg.patchSize),
+                ((len(patches) + 63) // 64) * 64 or 64,  # bucketed: stable jit shape
+            )
+            plr_modes = np.asarray(block_modes_d)
+            plr_mod.assign_patch_plr(
+                patches, plr_modes, btp,
+                np.asarray(patch_level_d), np.asarray(patch_modes_d),
+            )
         recon = pipeline.reconstruct_frame_device(
-            occ_rec, geo_dec, btp, patches, cfg, eom=eom_dec
+            occ_rec, geo_dec, btp, patches, cfg, eom=eom_dec,
+            plr_modes=plr_modes,
         )
         st.reconstruct_s = time.perf_counter() - t
 
@@ -473,7 +500,8 @@ class Encoder:
         attr_payloads = []
         attr_dec = []
         occ_dev = jnp.asarray(frame.occupancy)
-        for ly, img in ((0, img0), (1, img1)):
+        attr_layers = ((0, img0),) if plr_on else ((0, img0), (1, img1))
+        for ly, img in attr_layers:
             payload, dec = streams[f"attr{ly}"].encode(
                 img, occ=occ_dev,
                 layer_ref=attr_dec[0] if attr_dec else None,
@@ -483,7 +511,8 @@ class Encoder:
             attr_dec.append(dec)
         # encoder-side recon colors = decoded attribute at each point's pixel
         col_dec = pipeline.gather_decoded_colors(
-            recon.pix, recon.layer, jnp.asarray(attr_dec[0]), jnp.asarray(attr_dec[1])
+            recon.pix, recon.layer, jnp.asarray(attr_dec[0]),
+            jnp.asarray(attr_dec[-1]),
         )
         col_dec = pipeline.apply_color_smoothing_device(recon, col_dec, cfg)
         rec_pos, rec_col_dec = pipeline.download_recon(recon, col_dec, bits)
@@ -551,6 +580,9 @@ class Encoder:
         width = max(e.width for e in encoded)
         height = max(e.height for e in encoded)
 
+        n_geo_maps = len(encoded[0].geometry_payloads)
+        n_attr_maps = len(encoded[0].attribute_payloads)
+        plr_on = n_geo_maps == 1
         vps = v3c.V3CParameterSet(
             frame_width=width,
             frame_height=height,
@@ -564,7 +596,7 @@ class Encoder:
             occupancy_precision=cfg.occupancyPrecision,
             geometry_2d_bitdepth=cfg.geometryBitDepth2D,
             geometry_3d_bitdepth=cfg.geometryBitDepth3D,
-            map_count_minus1=cfg.mapCountMinus1,
+            map_count_minus1=0 if plr_on else cfg.mapCountMinus1,
             min_level=cfg.minLevel,
             smoothing_enabled=int(bool(cfg.flagGeometrySmoothing and cfg.gridSmoothing)),
             smoothing_grid_size=cfg.gridSize,
@@ -594,13 +626,20 @@ class Encoder:
                 ref_patches=prev_pdus,
             ))
             prev_pdus = pdus
+        from vpcc_tpu.ops.plr import MODE_TABLE as _PLR_TABLE
+
+        ntbl = max(min(int(cfg.plrlNumberOfModes), len(_PLR_TABLE)), 1)
         asps = v3c.AtlasSequenceParameterSet(
             frame_width=width,
             frame_height=height,
             log2_patch_packing_block_size=cfg.occupancyResolution.bit_length() - 1,
             geometry_3d_bitdepth_minus1=cfg.geometryBitDepth3D - 1,
             geometry_2d_bitdepth_minus1=cfg.geometryBitDepth2D - 1,
-            map_count_minus1=cfg.mapCountMinus1,
+            map_count_minus1=0 if plr_on else cfg.mapCountMinus1,
+            plr_enabled_flag=1 if plr_on else 0,
+            plr_num_modes=ntbl,
+            plr_block_threshold=int(cfg.patchSize),
+            plr_mode_table=_PLR_TABLE[:ntbl],
         )
         afps = v3c.AtlasFrameParameterSet()
         units.append((v3c.V3C_AD, v3c.write_atlas_substream(tiles, asps, afps)))
@@ -611,8 +650,10 @@ class Encoder:
             ovd_lists.append([e.eom_payload or b"" for e in encoded])
         for unit_type, payload_lists in (
             (v3c.V3C_OVD, ovd_lists),
-            (v3c.V3C_GVD, [[e.geometry_payloads[m] for e in encoded] for m in range(2)]),
-            (v3c.V3C_AVD, [[e.attribute_payloads[m] for e in encoded] for m in range(2)]),
+            (v3c.V3C_GVD, [[e.geometry_payloads[m] for e in encoded]
+                           for m in range(n_geo_maps)]),
+            (v3c.V3C_AVD, [[e.attribute_payloads[m] for e in encoded]
+                           for m in range(n_attr_maps)]),
         ):
             for mi, plist in enumerate(payload_lists):
                 bw = BitWriter()
@@ -652,4 +693,7 @@ def _patch_to_pdu(p: Patch, cfg: VPCCConfig) -> v3c.PatchDataUnit:
         size_u=p.size_u,
         size_v=p.size_v,
         ref_index=p.ref_patch_idx,
+        plr_level=p.plr_level,
+        plr_mode=p.plr_mode,
+        plr_block_modes=p.plr_block_modes,
     )

@@ -55,7 +55,9 @@ def _canvas_to_patch_uv(lx, ly, su, sv, orient):
     return u, v
 
 
-@functools.partial(jax.jit, static_argnames=("occupancy_resolution", "eom_bits"))
+@functools.partial(
+    jax.jit, static_argnames=("occupancy_resolution", "eom_bits", "plr")
+)
 def generate_point_cloud(
     occupancy: jax.Array,       # (H, W) uint8/bool, full resolution
     geometry0: jax.Array,       # (H, W) int32 relative depth D0
@@ -65,14 +67,21 @@ def generate_point_cloud(
     occupancy_resolution: int,
     eom: jax.Array | None = None,   # (H, W) int32 EOM bit codes
     eom_bits: int = 0,
+    plr: bool = False,
+    plr_dmag: jax.Array | None = None,  # (H, W) int32 0..3 extra-point depth
+    plr_fill: jax.Array | None = None,  # (H, W) bool fill-in-between flag
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (points (H*W, L, 3) int32, valid (H*W, L) bool, pixel_xy
-    (H*W, 2) int32, patch_of (H*W,) int32), L = 2 + eom_bits.
+    (H*W, 2) int32, patch_of (H*W,) int32), L = 2 + eom_bits (+3 with PLR).
 
     Layer 0 = D0 point, layer 1 = D1 point (invalid where equal to D0);
     layers 2..L-1 are EOM in-between points at directed depth D0 + k + 1
-    (reference: PCCCodec.cpp:671-804).  Flattened in raster order y*W + x;
-    `pixel_xy` carries (x, y) for attribute painting.
+    (reference: PCCCodec.cpp:671-804).  With PLR (single-map mode,
+    reference generatePoints PCCCodec.cpp:474-498) three candidate layers
+    at directed depth D0 + k are masked per pixel by the decoded PLR mode
+    (layer k live iff k == dmag, or k < dmag with the fill flag).
+    Flattened in raster order y*W + x; `pixel_xy` carries (x, y) for
+    attribute painting.
     """
     h, w = occupancy.shape
     res = occupancy_resolution
@@ -131,6 +140,19 @@ def generate_point_cloud(
         )
         layers_p.append(to_xyz(dabs_k))
         layers_v.append(occ & (((eom >> k) & 1) != 0))
+    if plr:
+        from vpcc_tpu.ops.plr import N_LAYERS as _PLR_L
+
+        for j in range(1, _PLR_L + 1):
+            dabs_j = jnp.where(
+                mode == 0,
+                d1 + geometry0 + j,
+                jnp.maximum(d1 - geometry0 - j, 0),
+            )
+            layers_p.append(to_xyz(dabs_j))
+            layers_v.append(
+                occ & ((plr_dmag == j) | (plr_fill & (plr_dmag > j)))
+            )
 
     L = len(layers_p)
     points = jnp.stack(layers_p, axis=2).reshape(h * w, L, 3)

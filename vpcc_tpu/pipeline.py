@@ -46,11 +46,13 @@ class DeviceRecon:
     count: int
 
 
-@functools.partial(jax.jit, static_argnames=("res", "eom_bits"))
+@functools.partial(jax.jit, static_argnames=("res", "eom_bits", "plr"))
 def _recon_phase1(occ, geo0, geo1, btp, ptable, res: int, eom=None,
-                  eom_bits: int = 0):
+                  eom_bits: int = 0, plr: bool = False, plr_dmag=None,
+                  plr_fill=None):
     pts, valid, pix, pid = reconstruct.generate_point_cloud(
-        occ, geo0, geo1, btp, ptable, res, eom=eom, eom_bits=eom_bits
+        occ, geo0, geo1, btp, ptable, res, eom=eom, eom_bits=eom_bits,
+        plr=plr, plr_dmag=plr_dmag, plr_fill=plr_fill,
     )
     bnd = smoothing.boundary_pixels(occ, btp)
     return pts, valid, pix, pid, bnd, valid.sum()
@@ -71,8 +73,11 @@ def _recon_phase2(
     pidr = jnp.repeat(pid, L, axis=0)
     bndr = jnp.repeat(bnd_img.reshape(-1), L, axis=0)
     # attribute-gather layer per reconstruction layer: D1 reads attribute
-    # map 1; D0 and the EOM in-between layers read map 0
-    pat = np.zeros(L, np.int32)
+    # map 1; D0 reads map 0; EOM/PLR in-between layers get tag 2 = gather
+    # map 0 but never paint (they share the pixel with the D0 point —
+    # painting them too would make the scattered attribute image racy)
+    pat = np.full(L, 2, np.int32)
+    pat[0] = 0
     pat[1] = 1
     layer = jnp.tile(jnp.asarray(pat), hw2 // L)
 
@@ -101,6 +106,8 @@ def reconstruct_frame_device(
     patches: List[Patch],
     cfg: VPCCConfig,
     eom=None,                # (H, W) int32 EOM codes (host or device)
+    plr_modes=None,          # (H/res, W/res) int32 PLR block mode map
+    plr_table=None,          # (M, 4) int32 mode table (default: cfg prefix)
 ) -> DeviceRecon:
     """generatePointCloud + grid smoothing, all on device."""
     occ_d = jnp.asarray(occ_rec)
@@ -111,10 +118,25 @@ def reconstruct_frame_device(
     if eom is not None and cfg.enhancedOccupancyMapCode:
         eom_d = jnp.asarray(eom).astype(jnp.int32)
         eom_bits = max(int(cfg.surfaceThickness) - 1, 0)
+    plr_on = plr_modes is not None
+    plr_dmag = plr_fill = None
+    if plr_on:
+        from vpcc_tpu.ops import plr as plr_mod
+
+        mode_px = jnp.asarray(
+            plr_mod.upsample_modes(plr_modes, cfg.occupancyResolution)
+        )
+        if plr_table is None:
+            ntbl = max(int(getattr(cfg, "plrlNumberOfModes", 6)), 1)
+            plr_table = plr_mod.MODE_TABLE[:ntbl]
+        plr_dmag, plr_fill = plr_mod.mode_planes(
+            g0, mode_px, jnp.asarray(np.asarray(plr_table, np.int32))
+        )
     outs = _recon_phase1(
         occ_d, g0, g1, jnp.asarray(btp),
         jnp.asarray(atlas_mod.patch_table(patches)),
         cfg.occupancyResolution, eom=eom_d, eom_bits=eom_bits,
+        plr=plr_on, plr_dmag=plr_dmag, plr_fill=plr_fill,
     )
     pts, valid, pix, pid, bnd, cnt = outs
     count = int(cnt)  # the only phase-1 download: one scalar

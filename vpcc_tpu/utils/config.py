@@ -101,6 +101,11 @@ class VPCCConfig:
     EOMFixBitCount: int = 2
     removeDuplicatePoints: int = 1
     pointLocalReconstruction: int = 0
+    # PLR mode-table prefix length + the small-patch block threshold below
+    # which one patch-level mode is RDO'd (reference plrlNumberOfModes /
+    # patchSize, PCCEncoderParameters.cpp:169-170)
+    plrlNumberOfModes: int = 6
+    patchSize: int = 9
     surfaceSeparation: int = 0
     highGradientSeparation: int = 0
 
