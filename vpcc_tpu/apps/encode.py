@@ -11,6 +11,7 @@ Usage:
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -48,21 +49,36 @@ def main(argv=None) -> int:
     done = 0
     # GOF-granular checkpoint/resume (SURVEY.md §5: a preempted pod slice
     # resumes at the next GOF; each GOF is a self-contained length-prefixed
-    # sample stream).  --resumeEncoding=1 skips GOFs already on disk.
+    # sample stream).  --resumeEncoding=1 skips GOFs already on disk.  A
+    # sidecar records the gof size / start frame the checkpoints were
+    # written with, so a resume under a different config fails loudly
+    # instead of silently desyncing frame indices.
+    sidecar = Path(out_path + ".resume.json")
     if int(cfg.extra.get("resumeEncoding", "0")) and Path(out_path).exists():
-        existing = Path(out_path).read_bytes()
-        pos = 0
-        while pos + 8 <= len(existing):
-            size = int.from_bytes(existing[pos : pos + 8], "big")
-            if pos + 8 + size > len(existing):
-                break  # truncated tail: re-encode from here
-            pos += 8 + size
-            skip = min(gof, n_frames - done)
-            done += skip
-            fidx += skip
-        all_stream.extend(existing[:pos])
-        if done:
-            print(f"resuming after {done} frames ({pos} bytes on disk)")
+        meta = None
+        if sidecar.exists():
+            meta = json.loads(sidecar.read_text())
+        if meta is None or meta.get("gof") != gof or meta.get("start") != fidx:
+            print(
+                "resume sidecar missing or gof/start mismatch "
+                f"({meta}); re-encoding from scratch", file=sys.stderr,
+            )
+        else:
+            existing = Path(out_path).read_bytes()
+            pos = 0
+            while pos + 8 <= len(existing):
+                size = int.from_bytes(existing[pos : pos + 8], "big")
+                if pos + 8 + size > len(existing):
+                    break  # truncated tail: re-encode from here
+                pos += 8 + size
+                skip = min(gof, n_frames - done)
+                done += skip
+                fidx += skip
+            all_stream.extend(existing[:pos])
+            if done:
+                print(f"resuming after {done} frames ({pos} bytes on disk); "
+                      "conformance log covers resumed frames from the sidecar")
+                conf_log.extend(meta.get("conf_log", [])[:done])
     while done < n_frames:
         count = min(gof, n_frames - done)
         frames = []
@@ -74,6 +90,13 @@ def main(argv=None) -> int:
         all_stream.extend(stream)
         Path(out_path).write_bytes(bytes(all_stream))  # checkpoint per GOF
         stats = getattr(enc, "last_stream_stats", {})
+        sidecar_log = conf_log + [conformance.frame_log_entries(
+            fidx + i, r, len(e.patches), e.width, e.height)
+            for i, (r, e) in enumerate(zip(recons, enc.last_encoded))]
+        sidecar.write_text(json.dumps({
+            "gof": gof, "start": cfg.startFrameNumber,
+            "conf_log": sidecar_log,
+        }))
         print("substream bytes: " + "  ".join(
             f"{k}={v}" for k, v in stats.items()))
         for i, (r, e) in enumerate(zip(recons, enc.last_encoded)):
