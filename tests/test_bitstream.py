@@ -156,7 +156,7 @@ def test_nal_atlas_substream_roundtrip_and_hash_sei():
                                          geometry_3d_bitdepth_minus1=9)
     afps = v3c.AtlasFrameParameterSet()
     payload = v3c.write_atlas_substream(tiles, asps, afps)
-    a2, f2, t2, hash_ok = v3c.read_atlas_substream(payload)
+    a2, f2, t2, hash_ok, _seis = v3c.read_atlas_substream(payload)
     assert a2.frame_width == 1280 and a2.frame_height == 1536
     assert a2.geometry_3d_bitdepth_minus1 == 9
     assert len(t2) == 2 and hash_ok == [True, True]
@@ -173,7 +173,7 @@ def test_nal_atlas_substream_roundtrip_and_hash_sei():
         pos += 4 + ln
     ln = _s.unpack(">I", bad[pos:pos+4])[0]
     bad[pos + 4 + 10] ^= 0x10
-    a3, f3, t3, hash_ok3 = v3c.read_atlas_substream(bytes(bad))
+    a3, f3, t3, hash_ok3, _seis3 = v3c.read_atlas_substream(bytes(bad))
     assert not all(hash_ok3)
 
 

@@ -116,7 +116,7 @@ def test_plr_syntax_roundtrip():
     afps = v3c.AtlasFrameParameterSet()
     tile = v3c.AtlasTileLayer(patches=[p1, p2])
     payload = v3c.write_atlas_substream([tile], asps, afps)
-    asps2, _, tiles, hash_ok = v3c.read_atlas_substream(payload)
+    asps2, _, tiles, hash_ok, _seis = v3c.read_atlas_substream(payload)
     assert asps2.plr_enabled_flag == 1 and asps2.plr_num_modes == 6
     assert np.array_equal(asps2.plr_mode_table,
                           np.asarray(__import__("vpcc_tpu.ops.plr", fromlist=["MODE_TABLE"]).MODE_TABLE[:6]))

@@ -94,13 +94,17 @@ def main(argv=None) -> int:
                     f"{vps.frame_count} frames, maps {vps.map_count_minus1 + 1}"
                 )
             elif utype == v3c.V3C_AD:
-                asps, afps, tiles, hash_ok = v3c.read_atlas_substream(payload)
+                asps, afps, tiles, hash_ok, seis = v3c.read_atlas_substream(
+                    payload
+                )
                 n_patches = sum(len(t.patches) for t in tiles)
                 line += (
                     f"  ASPS {asps.frame_width}x{asps.frame_height}, "
                     f"{len(tiles)} ATLs, {n_patches} patches, "
                     f"hash SEI {'OK' if all(hash_ok) else 'MISMATCH'}"
                 )
+                for ptype, sei in sorted(seis.items()):
+                    line += f"\n    prefix SEI {ptype}: {sei}"
             print(line)
         gof += 1
     return 0

@@ -36,10 +36,16 @@ NAL_TRAIL_N = 0        # non-IDR atlas tile layer
 NAL_IDR_N_LP = 20      # IDR atlas tile layer
 NAL_ASPS = 36          # atlas sequence parameter set
 NAL_AFPS = 37          # atlas frame parameter set
-NAL_SUFFIX_NSEI = 50   # non-essential suffix SEI
+NAL_PREFIX_NSEI = 43   # non-essential prefix SEI
+NAL_SUFFIX_NSEI = 44   # non-essential suffix SEI
+NAL_PREFIX_ESEI = 45   # essential prefix SEI (post-processing params)
+NAL_SUFFIX_ESEI = 46
 
-# SEI payload types (reference: PCCSei.h enum SeiPayloadType)
-SEI_DECODED_ATLAS_INFORMATION_HASH = 21
+# SEI payload types (reference: PCCBitstreamCommon.h:228-254 SeiPayloadType)
+SEI_DECODED_ATLAS_INFORMATION_HASH = 19
+SEI_OCCUPANCY_SYNTHESIS = 65
+SEI_GEOMETRY_SMOOTHING = 66
+SEI_ATTRIBUTE_SMOOTHING = 67
 
 # codec ids for the video payloads
 CODEC_LOSSLESS_ZLIB = 0    # host zlib (bring-up / lossless fallback)
@@ -68,14 +74,6 @@ class V3CParameterSet:
     attribute_codec_id: int = CODEC_TPU_INTRA
     min_level: int = 64
     vps_id: int = 0
-    # post-processing parameters (carried by the geometry-smoothing SEI in
-    # the reference, PCCEncoder.cpp:8472; folded into our VPS until the SEI
-    # set lands)
-    smoothing_enabled: int = 1
-    smoothing_grid_size: int = 8
-    smoothing_threshold: int = 64
-    color_smoothing_enabled: int = 0
-    color_smoothing_grid_size: int = 4
     # EOM (enhanced occupancy map): number of in-between bit planes, 0 = off
     eom_bits: int = 0
 
@@ -94,11 +92,6 @@ class V3CParameterSet:
         bw.u(8, self.geometry_codec_id)
         bw.u(8, self.attribute_codec_id)
         bw.ue(self.min_level)
-        bw.u(1, self.smoothing_enabled)
-        bw.u(8, self.smoothing_grid_size)
-        bw.u(16, self.smoothing_threshold)
-        bw.u(1, self.color_smoothing_enabled)
-        bw.u(8, self.color_smoothing_grid_size)
         bw.u(3, self.eom_bits)
         bw.byte_align()
 
@@ -119,11 +112,6 @@ class V3CParameterSet:
         v.geometry_codec_id = br.u(8)
         v.attribute_codec_id = br.u(8)
         v.min_level = br.ue()
-        v.smoothing_enabled = br.u(1)
-        v.smoothing_grid_size = br.u(8)
-        v.smoothing_threshold = br.u(16)
-        v.color_smoothing_enabled = br.u(1)
-        v.color_smoothing_grid_size = br.u(8)
         v.eom_bits = br.u(3)
         br.byte_align()
         return v
@@ -524,6 +512,104 @@ def patch_list_hash(patches: List[PatchDataUnit]) -> bytes:
     return h.digest()
 
 
+# ---------------------------------------------------------------------------
+# Prefix SEI payloads (post-processing parameters).  The reference carries
+# the decoder's reconstruction parameters as essential prefix SEIs attached
+# to the first atlas tile layer (PCCEncoder.cpp:8472-8614 create*Sei;
+# decoder consumption PCCDecoder.cpp:553-650 setPostProcessingSeiParameters).
+
+
+@dataclasses.dataclass
+class SEIGeometrySmoothing:
+    """Grid geometry smoothing (reference SEIGeometrySmoothing,
+    PCCSei.h; method_type 1 = grid smoothing)."""
+
+    method_type: int = 1
+    grid_size: int = 8       # coded as grid_size_minus2
+    threshold: int = 64
+
+    payload_type = SEI_GEOMETRY_SMOOTHING
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(8, self.method_type)
+        bw.u(7, self.grid_size - 2)
+        bw.u(16, self.threshold)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIGeometrySmoothing":
+        s = cls()
+        s.method_type = br.u(8)
+        s.grid_size = br.u(7) + 2
+        s.threshold = br.u(16)
+        return s
+
+
+@dataclasses.dataclass
+class SEIAttributeSmoothing:
+    """Grid color smoothing (reference SEIAttributeSmoothing)."""
+
+    method_type: int = 1
+    grid_size: int = 4
+    threshold: int = 10
+    threshold_variation: int = 6
+    threshold_difference: int = 10
+
+    payload_type = SEI_ATTRIBUTE_SMOOTHING
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(8, self.method_type)
+        bw.u(7, self.grid_size - 2)
+        bw.u(16, self.threshold)
+        bw.u(16, self.threshold_variation)
+        bw.u(16, self.threshold_difference)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIAttributeSmoothing":
+        s = cls()
+        s.method_type = br.u(8)
+        s.grid_size = br.u(7) + 2
+        s.threshold = br.u(16)
+        s.threshold_variation = br.u(16)
+        s.threshold_difference = br.u(16)
+        return s
+
+
+@dataclasses.dataclass
+class SEIOccupancySynthesis:
+    """PBF patch border filtering parameters (reference
+    SEIOccupancySynthesis, method_type 1 = PBF; encoder fill
+    PCCEncoder.cpp:8497-8511, decoder use PCCDecoder.cpp:586-602)."""
+
+    method_type: int = 1
+    passes_count: int = 2    # coded minus1
+    filter_size: int = 4     # coded minus1
+    log2_threshold: int = 2  # coded minus1
+
+    payload_type = SEI_OCCUPANCY_SYNTHESIS
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(8, self.method_type)
+        bw.u(8, self.passes_count - 1)
+        bw.u(8, self.filter_size - 1)
+        bw.u(8, self.log2_threshold - 1)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIOccupancySynthesis":
+        s = cls()
+        s.method_type = br.u(8)
+        s.passes_count = br.u(8) + 1
+        s.filter_size = br.u(8) + 1
+        s.log2_threshold = br.u(8) + 1
+        return s
+
+
+_SEI_CLASSES = {
+    SEI_GEOMETRY_SMOOTHING: SEIGeometrySmoothing,
+    SEI_ATTRIBUTE_SMOOTHING: SEIAttributeSmoothing,
+    SEI_OCCUPANCY_SYNTHESIS: SEIOccupancySynthesis,
+}
+
+
 def _write_nal(bw: BitWriter, nal_type: int, payload: bytes) -> None:
     unit = bytes([nal_type << 1 & 0xFF, 0]) + payload  # 2-byte NAL header
     bw.u(32, len(unit))
@@ -534,9 +620,11 @@ def write_atlas_substream(
     tiles: List[AtlasTileLayer],
     asps: AtlasSequenceParameterSet,
     afps: AtlasFrameParameterSet,
+    prefix_seis: "List | None" = None,
 ) -> bytes:
-    """NAL-unit atlas substream: ASPS, AFPS, then per frame an ATL NAL
-    (IDR for frame 0) and a suffix SEI with the decoded-atlas-info hash
+    """NAL-unit atlas substream: ASPS, AFPS, essential prefix SEIs
+    (post-processing parameters), then per frame an ATL NAL (IDR for
+    frame 0) and a suffix SEI with the decoded-atlas-info hash
     (reference: PCCBitstreamWriter::atlasSubStream, PCCBitstreamWriter.cpp:348)."""
     bw = BitWriter()
     b = BitWriter()
@@ -545,6 +633,16 @@ def write_atlas_substream(
     b = BitWriter()
     afps.write(b)
     _write_nal(bw, NAL_AFPS, b.getvalue())
+    for sei in prefix_seis or ():
+        body = BitWriter()
+        sei.write(body)
+        body.byte_align()
+        payload = body.getvalue()
+        b = BitWriter()
+        b.u(8, sei.payload_type)
+        b.u(8, len(payload))
+        b.bytes_(payload)
+        _write_nal(bw, NAL_PREFIX_ESEI, b.getvalue())
     for fi, t in enumerate(tiles):
         t.plr_enabled = asps.plr_enabled_flag
         b = BitWriter()
@@ -559,13 +657,15 @@ def write_atlas_substream(
 
 
 def read_atlas_substream(payload: bytes):
-    """Returns (asps, afps, tiles, hash_ok: List[bool]).  Verifies each
-    frame's decoded-atlas-information-hash SEI against the parsed patches
+    """Returns (asps, afps, tiles, hash_ok: List[bool], seis: dict keyed by
+    SEI payload type).  Verifies each frame's
+    decoded-atlas-information-hash SEI against the parsed patches
     (reference: PCCDecoder.cpp:1214)."""
     br = BitReader(payload)
     asps = afps = None
     tiles: List[AtlasTileLayer] = []
     hash_ok: List[bool] = []
+    seis: dict = {}
     prev = None
     while br.more_data():
         ln = br.u(32)
@@ -583,13 +683,20 @@ def read_atlas_substream(payload: bytes):
             )
             tiles.append(t)
             prev = t.patches
+        elif nal_type == NAL_PREFIX_ESEI:
+            ptype = body.u(8)
+            size = body.u(8)
+            data = body.bytes_(size)
+            klass = _SEI_CLASSES.get(ptype)
+            if klass is not None:
+                seis[ptype] = klass.read(BitReader(data))
         elif nal_type == NAL_SUFFIX_NSEI:
             ptype = body.u(8)
             size = body.u(8)
             data = body.bytes_(size)
             if ptype == SEI_DECODED_ATLAS_INFORMATION_HASH and tiles:
                 hash_ok.append(data == patch_list_hash(tiles[-1].patches))
-    return asps, afps, tiles, hash_ok
+    return asps, afps, tiles, hash_ok, seis
 
 
 @dataclasses.dataclass

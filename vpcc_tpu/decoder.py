@@ -69,6 +69,7 @@ class Decoder:
         units = v3c.read_sample_stream(stream)
         vps = None
         asps = None
+        seis: dict = {}
         tiles: List[v3c.AtlasTileLayer] = []
         occ_sub = None
         eom_sub = None
@@ -82,7 +83,8 @@ class Decoder:
                 # NAL-framed atlas substream: ASPS/AFPS/ATLs + hash SEIs;
                 # the decoded-atlas-information-hash of every frame is
                 # verified against the parsed patches (PCCDecoder.cpp:1214)
-                asps, afps, tiles, hash_ok = v3c.read_atlas_substream(payload)
+                asps, afps, tiles, hash_ok, seis = v3c.read_atlas_substream(payload)
+                self.seis = seis
                 self.atlas_hash_ok = hash_ok
                 if not all(hash_ok):
                     raise ValueError(
@@ -107,12 +109,27 @@ class Decoder:
         cfg.occupancyResolution = vps.occupancy_resolution
         cfg.occupancyPrecision = vps.occupancy_precision
         cfg.geometryNominal2dBitdepth = vps.geometry_2d_bitdepth
-        cfg.flagGeometrySmoothing = vps.smoothing_enabled
-        cfg.gridSmoothing = vps.smoothing_enabled
-        cfg.gridSize = vps.smoothing_grid_size
-        cfg.thresholdSmoothing = float(vps.smoothing_threshold)
-        cfg.flagColorSmoothing = vps.color_smoothing_enabled
-        cfg.cgridSize = vps.color_smoothing_grid_size
+        # post-processing parameters come from the prefix SEIs (reference
+        # PCCDecoder::setPostProcessingSeiParameters, PCCDecoder.cpp:553-650);
+        # absent SEI = tool off
+        sei_gs = seis.get(v3c.SEI_GEOMETRY_SMOOTHING)
+        cfg.flagGeometrySmoothing = cfg.gridSmoothing = int(sei_gs is not None)
+        if sei_gs is not None:
+            cfg.gridSize = sei_gs.grid_size
+            cfg.thresholdSmoothing = float(sei_gs.threshold)
+        sei_as = seis.get(v3c.SEI_ATTRIBUTE_SMOOTHING)
+        cfg.flagColorSmoothing = int(sei_as is not None)
+        if sei_as is not None:
+            cfg.cgridSize = sei_as.grid_size
+            cfg.thresholdColorSmoothing = float(sei_as.threshold)
+            cfg.thresholdColorVariation = float(sei_as.threshold_variation)
+            cfg.thresholdColorDifference = float(sei_as.threshold_difference)
+        sei_os = seis.get(v3c.SEI_OCCUPANCY_SYNTHESIS)
+        cfg.pbfEnableFlag = int(sei_os is not None and sei_os.method_type == 1)
+        if cfg.pbfEnableFlag:
+            cfg.pbfPassesCount = sei_os.passes_count
+            cfg.pbfFilterSize = sei_os.filter_size
+            cfg.pbfLog2Threshold = sei_os.log2_threshold
         cfg.enhancedOccupancyMapCode = 1 if vps.eom_bits else 0
         if vps.eom_bits:
             cfg.surfaceThickness = vps.eom_bits + 1
@@ -154,8 +171,13 @@ class Decoder:
                     patches, btp, *btp.shape
                 )
                 plr_table = asps.plr_mode_table
+            occ_in = occ
+            if cfg.pbfEnableFlag:
+                occ_in = pipeline.apply_pbf_occupancy(
+                    occ, geo[0], btp, patches, cfg
+                )
             recon = pipeline.reconstruct_frame_device(
-                occ, geo, btp, patches, cfg, eom=eom,
+                occ_in, geo, btp, patches, cfg, eom=eom,
                 plr_modes=plr_modes, plr_table=plr_table,
             )
             a0 = jnp.asarray(attr[0])

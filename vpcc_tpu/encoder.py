@@ -437,8 +437,16 @@ class Encoder:
                 patches, plr_modes, btp,
                 np.asarray(patch_level_d), np.asarray(patch_modes_d),
             )
+        occ_for_recon = occ_rec
+        if cfg.pbfEnableFlag:
+            # PBF replaces the raw upsampled occupancy on both sides
+            # (reference PCCCodec.cpp:543-556); runs on the decoded maps so
+            # the decoder reproduces it bit-exactly
+            occ_for_recon = pipeline.apply_pbf_occupancy(
+                occ_rec, geo_dec[0], btp, patches, cfg
+            )
         recon = pipeline.reconstruct_frame_device(
-            occ_rec, geo_dec, btp, patches, cfg, eom=eom_dec,
+            occ_for_recon, geo_dec, btp, patches, cfg, eom=eom_dec,
             plr_modes=plr_modes,
         )
         st.reconstruct_s = time.perf_counter() - t
@@ -598,11 +606,6 @@ class Encoder:
             geometry_3d_bitdepth=cfg.geometryBitDepth3D,
             map_count_minus1=0 if plr_on else cfg.mapCountMinus1,
             min_level=cfg.minLevel,
-            smoothing_enabled=int(bool(cfg.flagGeometrySmoothing and cfg.gridSmoothing)),
-            smoothing_grid_size=cfg.gridSize,
-            smoothing_threshold=int(cfg.thresholdSmoothing),
-            color_smoothing_enabled=int(bool(cfg.flagColorSmoothing)),
-            color_smoothing_grid_size=cfg.cgridSize,
         )
         bw = BitWriter()
         vps.write(bw)
@@ -642,7 +645,32 @@ class Encoder:
             plr_mode_table=_PLR_TABLE[:ntbl],
         )
         afps = v3c.AtlasFrameParameterSet()
-        units.append((v3c.V3C_AD, v3c.write_atlas_substream(tiles, asps, afps)))
+        # post-processing parameters as essential prefix SEIs (reference
+        # create{GeometrySmoothing,AttributeSmoothing,OccupancySynthesis}Sei,
+        # PCCEncoder.cpp:8472-8614)
+        prefix_seis = []
+        if cfg.flagGeometrySmoothing and cfg.gridSmoothing:
+            prefix_seis.append(v3c.SEIGeometrySmoothing(
+                grid_size=cfg.gridSize, threshold=int(cfg.thresholdSmoothing)
+            ))
+        if cfg.flagColorSmoothing:
+            prefix_seis.append(v3c.SEIAttributeSmoothing(
+                grid_size=cfg.cgridSize,
+                threshold=int(cfg.thresholdColorSmoothing),
+                threshold_variation=int(cfg.thresholdColorVariation),
+                threshold_difference=int(cfg.thresholdColorDifference),
+            ))
+        if cfg.pbfEnableFlag:
+            from vpcc_tpu.ops import pbf as pbf_mod
+
+            prefix_seis.append(v3c.SEIOccupancySynthesis(
+                passes_count=pbf_mod.pbf_passes(cfg),
+                filter_size=pbf_mod.pbf_filter_size(cfg),
+                log2_threshold=cfg.pbfLog2Threshold,
+            ))
+        units.append((v3c.V3C_AD, v3c.write_atlas_substream(
+            tiles, asps, afps, prefix_seis=prefix_seis
+        )))
 
         # frame dims per frame (padded to common size on decode)
         ovd_lists = [[e.occupancy_payload for e in encoded]]

@@ -99,6 +99,25 @@ def _recon_phase2(
     return pos, vv, pixc, layc, pidc, bndc
 
 
+def apply_pbf_occupancy(occ_rec, geo_dec0, btp, patches, cfg: VPCCConfig):
+    """PBF patch-border filtering of the upsampled occupancy (reference:
+    PCCCodec.cpp:543-556).  Shared encoder/decoder seam — both sides call
+    this with the same decoded inputs, so reconstructions stay bit-exact."""
+    from vpcc_tpu.ops import pbf
+
+    p_cap = max(((len(patches) + 63) // 64) * 64, 64)
+    return pbf.pbf_filter_occupancy(
+        jnp.asarray(occ_rec),
+        jnp.asarray(geo_dec0).astype(jnp.int32),
+        jnp.asarray(btp),
+        jnp.asarray(atlas_mod.patch_table(patches, capacity=p_cap)),
+        cfg.occupancyResolution,
+        passes=pbf.pbf_passes(cfg),
+        filter_size=pbf.pbf_filter_size(cfg),
+        threshold=int(cfg.pbfLog2Threshold) ** 2,
+    )
+
+
 def reconstruct_frame_device(
     occ_rec,                 # (H, W) uint8 decoded+expanded occupancy (host or device)
     geo_dec: List,           # decoded geometry maps (host or device)

@@ -141,6 +141,13 @@ class VPCCConfig:
     thresholdColorDifference: float = 10.0
     thresholdColorVariation: float = 6.0
 
+    # --- PBF patch border filtering (occupancy-synthesis SEI; reference
+    # PCCEncoderParameters.cpp:222-225, auto-derivation :1129-1130) ---
+    pbfEnableFlag: int = 0
+    pbfPassesCount: int = 0   # 0 = auto: 1/2/4 by occupancyPrecision
+    pbfFilterSize: int = 0    # 0 = auto: occupancyPrecision
+    pbfLog2Threshold: int = 2
+
     # --- color transfer / pre-smoothing ---
     colorTransform: int = 0
     bestColorSearchRange: int = 0
