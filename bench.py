@@ -22,6 +22,44 @@ import time
 
 TMC2_SECONDS_PER_FRAME = 60.0  # documented single-thread anchor (ANCHOR.md)
 
+# documented TMC2 anchor RD points (BASELINE.json published.tmc2_documented_
+# rd_longdress_vox10_c2ai; order-of-magnitude anchors from public V-PCC
+# reporting, see ANCHOR.md for provenance and the content caveat)
+ANCHOR_RD = {
+    "d1_db": [(0.1, 65.0), (0.3, 69.0), (1.1, 73.0)],
+    "d2_db": [(0.1, 69.0), (0.3, 73.0), (1.1, 77.0)],
+    "y_db": [(0.1, 28.5), (0.3, 32.5), (1.1, 36.5)],
+}
+
+
+def bd_rate(anchor, test):
+    """Bjontegaard delta-rate (%) of `test` vs `anchor`, each a list of
+    (bpp, psnr_db).  Negative = test needs less rate at equal quality.
+    Standard method: fit log10(rate) as a polynomial in PSNR, integrate
+    both fits over the overlapping PSNR span, exponentiate the average
+    log-rate difference (the metric the CTC spreadsheets compute,
+    SURVEY.md §4 item 4)."""
+    import numpy as np
+
+    def fit(curve):
+        r = np.log10([max(p[0], 1e-9) for p in curve])
+        q = np.array([p[1] for p in curve], float)
+        order = np.argsort(q)
+        q, r = q[order], r[order]
+        deg = min(3, len(q) - 1)
+        return q, np.polyfit(q, r, deg)
+
+    qa, pa = fit(anchor)
+    qt, pt = fit(test)
+    lo = max(qa.min(), qt.min())
+    hi = min(qa.max(), qt.max())
+    if hi <= lo:
+        return None  # curves do not overlap in quality
+    ia, it = np.polyint(pa), np.polyint(pt)
+    avg_a = (np.polyval(ia, hi) - np.polyval(ia, lo)) / (hi - lo)
+    avg_t = (np.polyval(it, hi) - np.polyval(it, lo)) / (hi - lo)
+    return float((10.0 ** (avg_t - avg_a) - 1.0) * 100.0)
+
 RATE_CFGS = {
     "r1": "/root/reference/cfg/rate/ctc-r1.cfg",
     "r2": "/root/reference/cfg/rate/ctc-r2.cfg",
@@ -101,6 +139,14 @@ def main():
             stages = agg
 
     vs = fps_r3 / (1.0 / TMC2_SECONDS_PER_FRAME)
+    bd = {
+        k: round(v, 1)
+        for k, v in (
+            (k, bd_rate(ANCHOR_RD[k], [(p["bpp"], p[k]) for p in rd_curve]))
+            for k in ("d1_db", "d2_db", "y_db")
+        )
+        if v is not None
+    }
     print(
         json.dumps(
             {
@@ -112,6 +158,12 @@ def main():
                     "points_per_frame": int(npts),
                     "anchor": "TMC2 1-thread 60 s/frame (documented, ANCHOR.md)",
                     "rd_curve": rd_curve,
+                    "bd_rate_vs_anchor_pct": bd,
+                    "bd_rate_note": (
+                        "Bjontegaard delta-rate vs the documented TMC2 "
+                        "longdress anchor (negative = we need less rate); "
+                        "content differs (synthetic vs CTC), see ANCHOR.md"
+                    ),
                     "stages_r3": stages,
                 },
             }
