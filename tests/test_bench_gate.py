@@ -1,0 +1,65 @@
+"""Bench-regime regression gate (VERDICT r3 action 1).
+
+The round-3 attribute regression (Y-PSNR 33.9 -> 11.8 dB at r1, bpp 0.16 ->
+0.90) shipped with a green 72-test suite because every existing e2e test ran
+at <=300k points on the CPU backend and asserted positions only.  This gate
+runs the REAL bench regime — a 607k-point vox10 GOF on the real TPU backend
+at CTC r1 and r3 — in a subprocess (the test conftest pins this process to
+a virtual CPU mesh) and asserts:
+
+  - Y-PSNR and bpp windows around the known-good round-2/4 operating points
+  - decoded-color parity (decoder colors == encoder recon colors, exact)
+  - RD sanity between the two rate points (bpp and quality both increase)
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_regime_rd_and_parity():
+    env = dict(os.environ)
+    # undo the CPU forcing (conftest.py) so the child uses the real TPU
+    env.pop("JAX_PLATFORMS", None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split() if "host_platform_device_count" not in f
+    )
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tests" / "bench_gate_child.py")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1740,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+
+    assert r["points_per_frame"] >= 500_000, r
+
+    r1, r3 = r["r1"], r["r3"]
+    # windows around the known-good curve (round 2: r1 y 33.9 @ 0.164 bpp,
+    # r3 y 37.4 @ 0.35; round 4 measured r1 34.2/0.166, r3 37.4/0.354)
+    assert r1["y_db"] >= 32.5, r1
+    assert r1["bpp"] <= 0.21, r1
+    assert r1["d1_db"] >= 63.5, r1
+    assert r3["y_db"] >= 36.0, r3
+    assert r3["bpp"] <= 0.42, r3
+    assert r3["d1_db"] >= 66.5, r3
+    # per-frame floor: no single broken frame hiding in the mean
+    assert r1["y_db_min"] >= 31.5, r1
+    assert r3["y_db_min"] >= 35.0, r3
+
+    # decoded streams reproduce the encoder reconstruction exactly —
+    # colors included (the round-3 suite checked positions only)
+    for p in (r1, r3):
+        assert p["pos_parity"], p
+        assert p["col_parity"], p
+
+    # RD curve shape: more rate must buy more quality
+    assert r1["bpp"] < r3["bpp"], (r1, r3)
+    assert r1["y_db"] < r3["y_db"], (r1, r3)
+    assert r1["d1_db"] < r3["d1_db"], (r1, r3)

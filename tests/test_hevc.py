@@ -159,3 +159,20 @@ def test_deblock_integer_consistency():
     payload, rec = hevc.encode_planes([img], [38], [255], deblock=True)
     dec = np.asarray(hevc.decode_planes(payload))
     np.testing.assert_array_equal(np.asarray(rec), dec)
+
+
+def test_tiled_plane_parity():
+    """Codec tiles (>=512px planes split into independent coding regions,
+    hevc._tile_grid) must round-trip bit-exactly, with and without MC."""
+    img = _test_image(512, 512)
+    assert hevc._tile_grid(512, 512) == (2, 2)  # tiling actually engages
+    payload, rec = hevc.encode_planes([img], [30], [255])
+    dec = np.asarray(hevc.decode_planes(payload))
+    np.testing.assert_array_equal(np.asarray(rec), dec)
+    # quality sanity: tiles only cut prediction context at 2 interior seams
+    assert ((np.asarray(rec)[0] - img) ** 2).mean() < 60.0
+
+    img2 = np.roll(img, (3, -2), (0, 1))
+    pm, rm = hevc.encode_planes(img2[None], [30], [255], refs=rec, motion=True)
+    decm = np.asarray(hevc.decode_planes(pm, refs=rec))
+    np.testing.assert_array_equal(np.asarray(rm), decm)

@@ -76,9 +76,29 @@ def main(argv=None) -> int:
                 fidx += skip
             all_stream.extend(existing[:pos])
             if done:
+                prior = meta.get("conf_log", [])
+                if len(prior) < done:
+                    # a crash between the stream checkpoint and the sidecar
+                    # write leaves the sidecar one GOF behind: re-encode the
+                    # uncovered GOFs rather than ship a silently short log
+                    covered = (len(prior) // gof) * gof
+                    print(
+                        f"resume sidecar conformance log covers only "
+                        f"{len(prior)}/{done} frames; rewinding resume "
+                        f"point to frame {covered}", file=sys.stderr,
+                    )
+                    uncovered = done - covered
+                    done = covered
+                    fidx -= uncovered
+                    # drop the stream bytes of the uncovered GOFs
+                    pos = 0
+                    for _ in range(0, covered, gof):
+                        size = int.from_bytes(existing[pos : pos + 8], "big")
+                        pos += 8 + size
+                    all_stream = bytearray(existing[:pos])
                 print(f"resuming after {done} frames ({pos} bytes on disk); "
                       "conformance log covers resumed frames from the sidecar")
-                conf_log.extend(meta.get("conf_log", [])[:done])
+                conf_log.extend(prior[:done])
     while done < n_frames:
         count = min(gof, n_frames - done)
         frames = []

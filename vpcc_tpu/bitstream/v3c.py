@@ -498,17 +498,35 @@ class AtlasFrameParameterSet:
         return a
 
 
-def patch_list_hash(patches: List[PatchDataUnit]) -> bytes:
+def patch_list_hash(patches: List[PatchDataUnit], plr_enabled: int = 0) -> bytes:
     """MD5 over the canonical decoded patch parameters of one frame — the
     payload of our decoded-atlas-information-hash SEI (reference:
     SeiDecodedAtlasInformationHash, created at PCCEncoder.cpp:8614 and
-    verified at PCCDecoder.cpp:1214)."""
+    verified at PCCDecoder.cpp:1214).  When PLR is signalled, the PLR
+    syntax elements travel in the same ATL, so they are folded into the
+    hash too (ADVICE r3: corruption of plr_level/mode/block modes was
+    previously undetectable)."""
     import hashlib
     import struct as _s
 
     h = hashlib.md5()
     for p in patches:
         h.update(_s.pack("<12i", *p.fields(), p.projection_id, p.orientation))
+        if plr_enabled:
+            # hash exactly what the plrData syntax codes (_write_plr): the
+            # level flag, then either the patch mode or the block-mode grid
+            if p.plr_level:
+                h.update(_s.pack("<2i", 1, p.plr_mode))
+            else:
+                nb = (p.size_x_m1 + 1) * (p.size_y_m1 + 1)
+                modes = (
+                    np.zeros(nb, np.int32)
+                    if p.plr_block_modes is None
+                    else np.asarray(p.plr_block_modes, np.int32).ravel()[:nb]
+                )
+                if len(modes) < nb:
+                    modes = np.pad(modes, (0, nb - len(modes)))
+                h.update(_s.pack("<i", 0) + modes.tobytes())
     return h.digest()
 
 
@@ -616,6 +634,25 @@ def _write_nal(bw: BitWriter, nal_type: int, payload: bytes) -> None:
     bw.bytes_(unit)
 
 
+def _sei_size_write(bw: BitWriter, n: int) -> None:
+    """SEI payload size with the spec's 0xFF-extension coding (the fixed
+    u(8) it replaces silently truncated payloads over 255 bytes,
+    ADVICE r3)."""
+    while n >= 255:
+        bw.u(8, 255)
+        n -= 255
+    bw.u(8, n)
+
+
+def _sei_size_read(br: BitReader) -> int:
+    n = 0
+    while True:
+        b = br.u(8)
+        n += b
+        if b != 255:
+            return n
+
+
 def write_atlas_substream(
     tiles: List[AtlasTileLayer],
     asps: AtlasSequenceParameterSet,
@@ -640,7 +677,7 @@ def write_atlas_substream(
         payload = body.getvalue()
         b = BitWriter()
         b.u(8, sei.payload_type)
-        b.u(8, len(payload))
+        _sei_size_write(b, len(payload))
         b.bytes_(payload)
         _write_nal(bw, NAL_PREFIX_ESEI, b.getvalue())
     for fi, t in enumerate(tiles):
@@ -650,8 +687,8 @@ def write_atlas_substream(
         _write_nal(bw, NAL_IDR_N_LP if fi == 0 else NAL_TRAIL_N, b.getvalue())
         sei = BitWriter()
         sei.u(8, SEI_DECODED_ATLAS_INFORMATION_HASH)
-        sei.u(8, 16)  # payload size: md5
-        sei.bytes_(patch_list_hash(t.patches))
+        _sei_size_write(sei, 16)  # payload size: md5
+        sei.bytes_(patch_list_hash(t.patches, plr_enabled=asps.plr_enabled_flag))
         _write_nal(bw, NAL_SUFFIX_NSEI, sei.getvalue())
     return bw.getvalue()
 
@@ -685,17 +722,20 @@ def read_atlas_substream(payload: bytes):
             prev = t.patches
         elif nal_type == NAL_PREFIX_ESEI:
             ptype = body.u(8)
-            size = body.u(8)
+            size = _sei_size_read(body)
             data = body.bytes_(size)
             klass = _SEI_CLASSES.get(ptype)
             if klass is not None:
                 seis[ptype] = klass.read(BitReader(data))
         elif nal_type == NAL_SUFFIX_NSEI:
             ptype = body.u(8)
-            size = body.u(8)
+            size = _sei_size_read(body)
             data = body.bytes_(size)
             if ptype == SEI_DECODED_ATLAS_INFORMATION_HASH and tiles:
-                hash_ok.append(data == patch_list_hash(tiles[-1].patches))
+                hash_ok.append(data == patch_list_hash(
+                    tiles[-1].patches,
+                    plr_enabled=asps.plr_enabled_flag if asps else 0,
+                ))
     return asps, afps, tiles, hash_ok, seis
 
 

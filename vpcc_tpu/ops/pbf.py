@@ -106,6 +106,29 @@ def _forward_uv_to_canvas(u, v, su, sv, orient):
     return x, y
 
 
+@functools.partial(jax.jit, static_argnames=("res",))
+def count_border(occ: jax.Array, btp: jax.Array, res: int) -> jax.Array:
+    """Number of patch-border pixels (the compacted set pbf_filter_occupancy
+    processes) — used by callers to size its `bucket` so no border point is
+    silently dropped on large atlases."""
+    h, w = occ.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    pid = btp[ys // res, xs // res] - 1
+    occp = occ.astype(jnp.bool_) & (pid >= 0)
+
+    def nb(cur, dy, dx):
+        return (_shift(cur & True, -dy, -dx)
+                & (_shift(pid, -dy, -dx, -2) == pid))
+
+    offs12 = [(0, 1), (0, -1), (1, 0), (-1, 0), (0, 2), (0, -2), (2, 0),
+              (-2, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)]
+    full = jnp.ones_like(occp)
+    for dy, dx in offs12:
+        full = full & nb(occp, dy, dx)
+    return jnp.sum(occp & ~full)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("res", "passes", "filter_size", "threshold", "bucket"),

@@ -123,21 +123,30 @@ def _exact_and_counts(src_pos, src_valid, tgt_pos, tgt_count, bits: int):
     return exact_idx, has_exact, inexact, unmatched, jnp.sum(inexact), jnp.sum(unmatched)
 
 
-@functools.partial(jax.jit, static_argnames=("icap", "k", "grid_bits"))
-def _fwd_compact(src_pos, src_col_u8, tgt_pos, inexact, icap: int, k: int,
-                 grid_bits: int, gd2_fwd, cd2_fwd, doff_fwd):
-    """Forward sweep on the COMPACTED inexact targets only: targets with
-    an exact source match take that color verbatim, so the k-NN vote (the
-    most expensive gather in the encoder) runs only on the remainder.
-    Returns (iidx (icap,), colors (icap, 3) f32)."""
-    nt = tgt_pos.shape[0]
-    iidx = jnp.nonzero(inexact, size=icap, fill_value=nt)[0].astype(jnp.int32)
-    ivalid = iidx < nt
-    q = jnp.where(
-        ivalid[:, None], tgt_pos[jnp.minimum(iidx, nt - 1)], jnp.int32(-(1 << 20))
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_gather(rows, mask, cap: int):
+    """(idx (cap,) int32, gathered rows (cap, 3) int32) for the True entries
+    of `mask`; invalid slots get idx=N and the far sentinel coordinate.
+
+    Kept as its OWN dispatch: fusing this gather into the same XLA program
+    as the k-NN distance computation miscompiles on the axon TPU platform
+    (first two 2^17-query chunks read corrupted x-deltas, ~+512; verified
+    round 4 — the round-3 fused `_fwd_compact` was the round-3 bench's
+    Y-PSNR collapse).  The k-NN sweeps must stay standalone, exactly like
+    `transfer_colors` runs them."""
+    n = rows.shape[0]
+    idx = jnp.nonzero(mask, size=cap, fill_value=n)[0].astype(jnp.int32)
+    valid = idx < n
+    out = jnp.where(
+        valid[:, None], rows[jnp.minimum(idx, n - 1)], jnp.int32(-(1 << 20))
     )
-    grid_s = neighbors.build_grid(src_pos, grid_bits)
-    idx, d2 = neighbors.knn(grid_s, src_pos, q, k=k, bucket=6)
+    return idx, out
+
+
+@jax.jit
+def _fwd_blend(src_col_u8, idx, d2, gd2_fwd, cd2_fwd, doff_fwd):
+    """Distance/color-gated weighted vote over the k-NN results (the same
+    arithmetic as `_blend`'s forward half)."""
     d2f = d2.astype(jnp.float32)
     valid = (d2 < neighbors.MAX_DIST2) & (d2f <= gd2_fwd)
     cols = src_col_u8[idx].astype(jnp.float32)
@@ -147,25 +156,21 @@ def _fwd_compact(src_pos, src_col_u8, tgt_pos, inexact, icap: int, k: int,
     valid = valid.at[:, 0].set(d2[:, 0] < neighbors.MAX_DIST2)
     w = valid.astype(jnp.float32) / jnp.maximum(d2f + doff_fwd, 1e-8)
     wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-8)
-    out = jnp.sum(cols * w[..., None], axis=1) / wsum
-    return iidx, out
+    return jnp.sum(cols * w[..., None], axis=1) / wsum
 
 
-@functools.partial(jax.jit, static_argnames=("ucap", "grid_bits"))
-def _bwd_and_merge(src_pos, src_col_u8, tgt_pos, unmatched, exact_idx,
-                   has_exact, iidx, fwd_cols, ucap: int, grid_bits: int,
-                   gd2_bwd):
+@jax.jit
+def _bwd_and_merge(src_col_u8, tgt_cap_arr, uidx, uvalid, tidx, td2,
+                   exact_idx, has_exact, iidx, fwd_cols, gd2_bwd):
     """Backward splat from the COMPACTED unmatched sources (a matched
     source's nearest target is its exact twin, which keeps the exact color
     verbatim — its splat is provably ignored, so skipping it is bit-exact),
-    then the final merge: exact / fwd / 0.5*(fwd+bwd)."""
-    ns, nt = src_pos.shape[0], tgt_pos.shape[0]
-    uidx = jnp.nonzero(unmatched, size=ucap, fill_value=ns)[0].astype(jnp.int32)
-    uvalid = uidx < ns
+    then the final merge: exact / fwd / 0.5*(fwd+bwd).  The nearest-target
+    sweep (tidx, td2) runs standalone outside this jit (see
+    `_compact_gather` for why)."""
+    ns = src_col_u8.shape[0]
+    nt = tgt_cap_arr.shape[0]
     safe_u = jnp.minimum(uidx, ns - 1)
-    us_pos = jnp.where(uvalid[:, None], src_pos[safe_u], jnp.int32(-(1 << 20)))
-    grid_t = neighbors.build_grid(tgt_pos, grid_bits)
-    tidx, td2 = neighbors.nearest(grid_t, tgt_pos, us_pos, bucket=6)
     svalid = (td2 < neighbors.MAX_DIST2) & (td2.astype(jnp.float32) <= gd2_bwd) & uvalid
     ucols = src_col_u8[safe_u].astype(jnp.float32)
     acc = jnp.zeros((nt, 3), jnp.float32).at[tidx].add(ucols * svalid[:, None])
@@ -201,7 +206,10 @@ def transfer_colors_compact(
     exact-match shortcut usually covers most reconstructed points, so the
     KNN sweeps run only on the inexact remainder (targets) / unmatched
     remainder (sources).  Bit-identical to `transfer_colors` by
-    construction.  Returns ((Nt, 3) int32 colors, (exact_idx, has_exact))."""
+    construction.  The KNN sweeps themselves run as standalone dispatches
+    (NOT fused into the gather/blend jits) — see `_compact_gather` for the
+    axon miscompilation this avoids.  Returns ((Nt, 3) int32 colors,
+    (exact_idx, has_exact))."""
     from vpcc_tpu.core.pointcloud import shape_bucket
 
     src_valid = jnp.arange(src_pos.shape[0]) < src_count
@@ -210,17 +218,23 @@ def transfer_colors_compact(
     )
     n_in, n_un = int(n_in_d), int(n_un_d)  # one sync sizes both buffers
     icap = shape_bucket(n_in)
-    iidx, fwd_cols = _fwd_compact(
-        src_pos, src_col_u8, tgt_pos, inexact, icap, k, grid_bits,
-        jnp.float32(max_geom_d2_fwd), jnp.float32(max_color_d2_fwd),
-        jnp.float32(dist_offset_fwd),
+    iidx, q = _compact_gather(tgt_pos, inexact, icap)
+    grid_s = neighbors.build_grid(src_pos, grid_bits)
+    idx, d2 = neighbors.knn(grid_s, src_pos, q, k=k, bucket=6)
+    fwd_cols = _fwd_blend(
+        src_col_u8, idx, d2, jnp.float32(max_geom_d2_fwd),
+        jnp.float32(max_color_d2_fwd), jnp.float32(dist_offset_fwd),
     )
     if k_bwd > 0:
         ucap = shape_bucket(n_un)
+        uidx, us_pos = _compact_gather(src_pos, unmatched, ucap)
+        grid_t = neighbors.build_grid(tgt_pos, grid_bits)
+        tidx, td2 = neighbors.nearest(grid_t, tgt_pos, us_pos, bucket=6)
         return (
             _bwd_and_merge(
-                src_pos, src_col_u8, tgt_pos, unmatched, exact_idx, has_exact,
-                iidx, fwd_cols, ucap, grid_bits, jnp.float32(max_geom_d2_bwd),
+                src_col_u8, tgt_pos, uidx, uidx < src_pos.shape[0], tidx, td2,
+                exact_idx, has_exact, iidx, fwd_cols,
+                jnp.float32(max_geom_d2_bwd),
             ),
             (exact_idx, has_exact),
         )

@@ -103,18 +103,28 @@ def apply_pbf_occupancy(occ_rec, geo_dec0, btp, patches, cfg: VPCCConfig):
     """PBF patch-border filtering of the upsampled occupancy (reference:
     PCCCodec.cpp:543-556).  Shared encoder/decoder seam — both sides call
     this with the same decoded inputs, so reconstructions stay bit-exact."""
+    from vpcc_tpu.core.pointcloud import shape_bucket
     from vpcc_tpu.ops import pbf
 
     p_cap = max(((len(patches) + 63) // 64) * 64, 64)
+    occ_d = jnp.asarray(occ_rec)
+    btp_d = jnp.asarray(btp)
+    # size the compacted border-point buffer from the actual border count
+    # (ADVICE r3: a fixed 1<<16 cap silently dropped border points on
+    # CTC-size atlases).  Both sides compute the count from the same
+    # decoded inputs, so the bucket — and with it the filter result —
+    # stays bit-exact across encoder and decoder.
+    n_border = int(pbf.count_border(occ_d, btp_d, cfg.occupancyResolution))
     return pbf.pbf_filter_occupancy(
-        jnp.asarray(occ_rec),
+        occ_d,
         jnp.asarray(geo_dec0).astype(jnp.int32),
-        jnp.asarray(btp),
+        btp_d,
         jnp.asarray(atlas_mod.patch_table(patches, capacity=p_cap)),
         cfg.occupancyResolution,
         passes=pbf.pbf_passes(cfg),
         filter_size=pbf.pbf_filter_size(cfg),
         threshold=int(cfg.pbfLog2Threshold) ** 2,
+        bucket=shape_bucket(n_border),
     )
 
 

@@ -362,16 +362,59 @@ def _pad_rows(x, fill):
     return jnp.concatenate([x, extra], axis=1)
 
 
+def _tile_grid(H: int, W: int, min_side: int = 256):
+    """(ty, tx) codec-tile split for an (H, W) plane: the largest power-of-2
+    split keeping every tile >= min_side on each axis and CU-aligned.
+
+    Tiles are independent coding regions (the HEVC tile analogue): the
+    wavefront scan length shrinks by ~the split factor while every scan
+    step batches all tiles — the codec's latency-bound inner loop becomes
+    MXU/VPU-bound instead.  Prediction/deblocking never cross tile edges,
+    so encoder and decoder stay bit-exact per tile."""
+    def split(n):
+        t = 1
+        while t < 8 and n % (2 * t * CU) == 0 and n // (2 * t) >= min_side:
+            t *= 2
+        return t
+
+    return split(H), split(W)
+
+
+def _tiles_of(x, ty, tx):
+    """(P, H, W) -> (P*ty*tx, H/ty, W/tx); tile-major within each plane."""
+    P, H, W = x.shape
+    ht, wt = H // ty, W // tx
+    return (
+        x.reshape(P, ty, ht, tx, wt)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(P * ty * tx, ht, wt)
+    )
+
+
+def _untile(x, P, ty, tx):
+    """Inverse of _tiles_of."""
+    _, ht, wt = x.shape
+    return (
+        x.reshape(P, ty, tx, ht, wt)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(P, ty * ht, tx * wt)
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def _build_encode(P: int, H: int, W: int, deblock: bool,
-                  has_occ: bool, has_weight: bool, motion: bool = False):
+                  has_occ: bool, has_weight: bool, motion: bool = False,
+                  ty: int = 1, tx: int = 1):
     # constants must be concrete even when this builder is first
     # invoked inside an outer trace (the lru_cache would otherwise
     # leak tracers into later calls)
     with jax.ensure_compile_time_eval():
         Hp = -(-H // CU) * CU
         Wp = -(-W // CU) * CU
-        nby, nbx = Hp // CU, Wp // CU
+        assert Hp % ty == 0 and Wp % tx == 0, (Hp, Wp, ty, tx)
+        Ht, Wt = Hp // ty, Wp // tx            # per-tile dims
+        PT = P * ty * tx                       # tile-expanded plane count
+        nby, nbx = Ht // CU, Wt // CU
         nb = nby * nbx
         bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
         C16 = _SizeConsts(CU)
@@ -398,7 +441,14 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
             weights = pad2(weights.astype(jnp.int32), "constant")
         else:
             weights = jnp.ones((P, Hp, Wp), jnp.int32)
-        initv = ((maxvals + 1) // 2).astype(jnp.int32)          # (P,)
+        # per-plane params expand to per-tile (each tile inherits its
+        # plane's qp/maxval); tiles then ride the plane axis of the scan
+        planes = _tiles_of(planes, ty, tx)
+        refs = _tiles_of(refs, ty, tx)
+        weights = _tiles_of(weights, ty, tx)
+        rep = lambda a: jnp.repeat(a, ty * tx, axis=0)
+        qps, maxvals = rep(qps), rep(maxvals)
+        initv = ((maxvals + 1) // 2).astype(jnp.int32)          # (PT,)
         initc = initv[:, None, None]
         src_blk = _pad_rows(_to_blocks(planes), initc)
         dq = dq_tab[jnp.clip(qps, 0, 51)]
@@ -410,20 +460,20 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
             mv, mvcost = _motion_search(planes, refs, lam, MV_RANGE, nby, nbx)
             refs = _apply_motion(refs, mv, MV_RANGE, nby, nbx)
         else:
-            mv = jnp.zeros((P, nb, 2), jnp.int32)
-            mvcost = jnp.zeros((P, nb), jnp.float32)
+            mv = jnp.zeros((PT, nb, 2), jnp.int32)
+            mvcost = jnp.zeros((PT, nb), jnp.float32)
         mvc_all = jnp.concatenate(
-            [mvcost, jnp.zeros((P, 2), jnp.float32)], axis=1
+            [mvcost, jnp.zeros((PT, 2), jnp.float32)], axis=1
         )
         ref_blk = _pad_rows(_to_blocks(refs), initc)
         w16_all, w8_all = _block_weights(weights, nby, nbx)
-        blk = jnp.broadcast_to(initc, (P, nb + 2, CC)).astype(jnp.int32)
+        blk = jnp.broadcast_to(initc, (PT, nb + 2, CC)).astype(jnp.int32)
 
         # compact outputs: only the CHOSEN branch is downloaded (int8/int16)
         # — the device->host tunnel (~10-40 MB/s) is the pipeline bottleneck
-        split_out = jnp.zeros((P, nb + 2), jnp.int8)
-        modes_out = jnp.zeros((P, nb + 2, 4), jnp.int8)
-        coeff_out = jnp.zeros((P, nb + 2, CC), jnp.int16)
+        split_out = jnp.zeros((PT, nb + 2), jnp.int8)
+        modes_out = jnp.zeros((PT, nb + 2, 4), jnp.int8)
+        coeff_out = jnp.zeros((PT, nb + 2, CC), jnp.int16)
 
         def body(carry, xs):
             blk, split_out, modes_out, coeff_out = carry
@@ -496,9 +546,12 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
         (blk, split_out, modes_out, coeff_out), _ = jax.lax.scan(
             body, carry, xs
         )
-        rec = _from_blocks(blk[:, :nb], Hp, Wp)
+        rec = _from_blocks(blk[:, :nb], Ht, Wt)
         if deblock:
+            # per-tile, BEFORE reassembly: the filter must not cross tile
+            # edges (the decoder deblocks tiles the same way)
             rec = _deblock(rec, qps, maxvals)
+        rec = _untile(rec, P, ty, tx)
         return (
             split_out[:, :nb], modes_out[:, :nb], coeff_out[:, :nb],
             rec[:, :H, :W], mv.astype(jnp.int8),
@@ -508,14 +561,18 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
 
 
 @functools.lru_cache(maxsize=64)
-def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False):
+def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False,
+                  ty: int = 1, tx: int = 1):
     # constants must be concrete even when this builder is first
     # invoked inside an outer trace (the lru_cache would otherwise
     # leak tracers into later calls)
     with jax.ensure_compile_time_eval():
         Hp = -(-H // CU) * CU
         Wp = -(-W // CU) * CU
-        nby, nbx = Hp // CU, Wp // CU
+        assert Hp % ty == 0 and Wp % tx == 0, (Hp, Wp, ty, tx)
+        Ht, Wt = Hp // ty, Wp // tx
+        PT = P * ty * tx
+        nby, nbx = Ht // CU, Wt // CU
         nb = nby * nbx
         bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
         C16 = _SizeConsts(CU)
@@ -531,15 +588,18 @@ def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False):
         refs = refs.astype(jnp.int32)
         if (Hp, Wp) != (H, W):
             refs = jnp.pad(refs, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+        refs = _tiles_of(refs, ty, tx)
+        rep = lambda a: jnp.repeat(a, ty * tx, axis=0)
+        qps, maxvals = rep(qps), rep(maxvals)
         if motion:
             refs = _apply_motion(refs, mv.astype(jnp.int32), MV_RANGE, nby, nbx)
         initv = ((maxvals + 1) // 2).astype(jnp.int32)
         initc = initv[:, None, None]
         ref_blk = _pad_rows(_to_blocks(refs), initc)
-        blk = jnp.broadcast_to(initc, (P, nb + 2, CC)).astype(jnp.int32)
+        blk = jnp.broadcast_to(initc, (PT, nb + 2, CC)).astype(jnp.int32)
         dq = dq_tab[jnp.clip(qps, 0, 51)]
         pad0 = lambda a: jnp.concatenate(
-            [a, jnp.zeros((P, 2) + a.shape[2:], a.dtype)], axis=1
+            [a, jnp.zeros((PT, 2) + a.shape[2:], a.dtype)], axis=1
         )
         coeffs = coeffs.astype(jnp.int32)
         modes = modes.astype(jnp.int32)
@@ -548,7 +608,7 @@ def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False):
         m8_p = pad0(modes)
         c16_p = pad0(coeffs[:, :, inv_zz16])
         c8_p = pad0(
-            coeffs.reshape(P, nb, 4, SUB * SUB)[:, :, :, inv_zz8]
+            coeffs.reshape(PT, nb, 4, SUB * SUB)[:, :, :, inv_zz8]
         )
 
         def body(blk, xs):
@@ -595,9 +655,10 @@ def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False):
 
         xs = (jnp.asarray(bidx_tab), jnp.asarray(nbr_tab))
         blk, _ = jax.lax.scan(body, blk, xs)
-        rec = _from_blocks(blk[:, :nb], Hp, Wp)
+        rec = _from_blocks(blk[:, :nb], Ht, Wt)
         if deblock:
             rec = _deblock(rec, qps, maxvals)
+        rec = _untile(rec, P, ty, tx)
         return rec[:, :H, :W]
 
     return jax.jit(run)
@@ -676,7 +737,9 @@ def encode_planes(
     w_a = jnp.asarray(weight) if has_weight else jnp.zeros((1, 1), jnp.int32)
     qps_a = jnp.asarray(np.asarray(qps, np.int32))
     mv_a = jnp.asarray(np.asarray(maxvals, np.int32))
-    fn = _build_encode(P, H, W, deblock, has_occ, has_weight, motion)
+    Hp, Wp = -(-H // CU) * CU, -(-W // CU) * CU
+    ty, tx = _tile_grid(Hp, Wp)
+    fn = _build_encode(P, H, W, deblock, has_occ, has_weight, motion, ty, tx)
     split, modes, coeffs, rec, mvs = fn(
         planes, qps_a, refs_a, jnp.asarray(bool(has_ref)), mv_a, occ_a, w_a
     )
@@ -686,75 +749,84 @@ def encode_planes(
     modes_h = np.asarray(modes).astype(np.int32)
     coeff_h = np.asarray(coeffs).astype(np.int32)
     mv_h = np.asarray(mvs).astype(np.int32)
-    nby, nbx = -(-H // CU), -(-W // CU)
+    nby, nbx = Hp // ty // CU, Wp // tx // CU       # per codec tile
     flags = (
         (FLAG_INTER if has_ref else 0)
         | (FLAG_DEBLOCK if deblock else 0)
         | (FLAG_MC if motion else 0)
     )
+    T = ty * tx
     out = bytearray()
-    out += struct.pack("<HHBB", H, W, P, flags)
+    out += struct.pack("<HHBBBB", H, W, P, flags, ty, tx)
     for p in range(P):
-        blob = entropy.encode_hevc_plane(
-            nby, nbx, split_h[p], modes_h[p, :, 0], coeff_h[p],
-            modes_h[p], coeff_h[p].reshape(-1, 4, SUB * SUB),
-        )
-        out += struct.pack("<BHI", int(qps[p]), int(maxvals[p]), len(blob))
-        out += blob
-        if motion:
-            mvblob = entropy.encode_mvs(
-                _inter_flags(split_h[p], modes_h[p]), mv_h[p]
+        out += struct.pack("<BH", int(qps[p]), int(maxvals[p]))
+        for t in range(T):
+            i = p * T + t
+            blob = entropy.encode_hevc_plane(
+                nby, nbx, split_h[i], modes_h[i, :, 0], coeff_h[i],
+                modes_h[i], coeff_h[i].reshape(-1, 4, SUB * SUB),
             )
-            out += struct.pack("<I", len(mvblob))
-            out += mvblob
+            out += struct.pack("<I", len(blob))
+            out += blob
+            if motion:
+                mvblob = entropy.encode_mvs(
+                    _inter_flags(split_h[i], modes_h[i]), mv_h[i]
+                )
+                out += struct.pack("<I", len(mvblob))
+                out += mvblob
     return bytes(out), rec
 
 
 def decode_planes(payload: bytes, refs=None) -> jax.Array:
     """Inverse of encode_planes: payload -> (P, H, W) int32 recon ON DEVICE."""
-    H, W, P, flags = struct.unpack("<HHBB", payload[:6])
-    pos = 6
+    H, W, P, flags, ty, tx = struct.unpack("<HHBBBB", payload[:8])
+    pos = 8
     Hp = -(-H // CU) * CU
     Wp = -(-W // CU) * CU
-    nby, nbx = Hp // CU, Wp // CU
+    nby, nbx = Hp // ty // CU, Wp // tx // CU
     nb = nby * nbx
+    T = ty * tx
     motion = bool(flags & FLAG_MC)
     if (flags & FLAG_INTER) and refs is None:
         raise ValueError("inter-coded payload requires refs")
     qps = np.zeros(P, np.int32)
     maxvals = np.zeros(P, np.int32)
-    split = np.zeros((P, nb), np.int8)
-    modes = np.zeros((P, nb, 4), np.int8)
-    coeff = np.zeros((P, nb, CU * CU), np.int16)
-    mv = np.zeros((P, nb, 2), np.int8)
+    split = np.zeros((P * T, nb), np.int8)
+    modes = np.zeros((P * T, nb, 4), np.int8)
+    coeff = np.zeros((P * T, nb, CU * CU), np.int16)
+    mv = np.zeros((P * T, nb, 2), np.int8)
     for p in range(P):
-        qps[p], maxvals[p], ln = struct.unpack("<BHI", payload[pos : pos + 7])
-        pos += 7
-        s_, m16_, c16_, m8_, c8_ = entropy.decode_hevc_plane(
-            payload[pos : pos + ln], nby, nbx
-        )
-        pos += ln
-        spl = s_ != 0
-        split[p] = s_.astype(np.int8)
-        m4 = np.where(spl[:, None], m8_, np.concatenate(
-            [m16_[:, None], np.zeros((nb, 3), np.int32)], 1))
-        modes[p] = m4.astype(np.int8)
-        coeff[p] = np.where(
-            spl[:, None], c8_.reshape(nb, CU * CU), c16_
-        ).astype(np.int16)
-        if motion:
-            (mvln,) = struct.unpack("<I", payload[pos : pos + 4])
+        qps[p], maxvals[p] = struct.unpack("<BH", payload[pos : pos + 3])
+        pos += 3
+        for t in range(T):
+            i = p * T + t
+            (ln,) = struct.unpack("<I", payload[pos : pos + 4])
             pos += 4
-            inter = _inter_flags(split[p].astype(np.int32), m4)
-            mv[p] = entropy.decode_mvs(
-                payload[pos : pos + mvln], inter
-            ).astype(np.int8)
-            pos += mvln
+            s_, m16_, c16_, m8_, c8_ = entropy.decode_hevc_plane(
+                payload[pos : pos + ln], nby, nbx
+            )
+            pos += ln
+            spl = s_ != 0
+            split[i] = s_.astype(np.int8)
+            m4 = np.where(spl[:, None], m8_, np.concatenate(
+                [m16_[:, None], np.zeros((nb, 3), np.int32)], 1))
+            modes[i] = m4.astype(np.int8)
+            coeff[i] = np.where(
+                spl[:, None], c8_.reshape(nb, CU * CU), c16_
+            ).astype(np.int16)
+            if motion:
+                (mvln,) = struct.unpack("<I", payload[pos : pos + 4])
+                pos += 4
+                inter = _inter_flags(split[i].astype(np.int32), m4)
+                mv[i] = entropy.decode_mvs(
+                    payload[pos : pos + mvln], inter
+                ).astype(np.int8)
+                pos += mvln
     if flags & FLAG_INTER:
         refs_a = jnp.asarray(refs)
     else:
         refs_a = jnp.zeros((P, H, W), jnp.int32)
-    fn = _build_decode(P, H, W, bool(flags & FLAG_DEBLOCK), motion)
+    fn = _build_decode(P, H, W, bool(flags & FLAG_DEBLOCK), motion, ty, tx)
     return fn(
         jnp.asarray(split), jnp.asarray(modes), jnp.asarray(coeff),
         jnp.asarray(qps), refs_a, jnp.asarray(maxvals), jnp.asarray(mv),
