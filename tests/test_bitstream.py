@@ -198,3 +198,109 @@ def test_annexb_parser_hevc_and_avc():
     )
     nals = parse_annexb(avc, "avc")
     assert [n[3] for n in nals] == ["SPS", "PPS", "IDR"]
+
+
+def test_p_merge_mode_rate_and_roundtrip():
+    """P_MERGE codes only the changed field groups: patches that merely
+    slide in 2D must cost less than full INTER delta lists, and the reader
+    must reconstruct them exactly (reference P_MERGE,
+    PCCBitstreamCommon.h:194-211)."""
+    import dataclasses as dc
+
+    from vpcc_tpu.bitstream import v3c
+    from vpcc_tpu.bitstream.bitio import BitReader, BitWriter
+
+    rng = np.random.default_rng(5)
+    pdus = []
+    for i in range(30):
+        pdus.append(v3c.PatchDataUnit(
+            pos_x=int(rng.integers(0, 60)), pos_y=int(rng.integers(0, 60)),
+            size_x_m1=int(rng.integers(0, 20)), size_y_m1=int(rng.integers(0, 20)),
+            offset_u=int(rng.integers(0, 500)), offset_v=int(rng.integers(0, 500)),
+            offset_d=int(rng.integers(0, 10)), range_d=int(rng.integers(0, 4)),
+            projection_id=int(rng.integers(0, 6)), orientation=int(rng.integers(0, 8)),
+            size_u=int(rng.integers(1, 300)), size_v=int(rng.integers(1, 300)),
+        ))
+    # every patch slides by (1, 2) in 2D — MERGE territory
+    pdus2 = []
+    for i, q in enumerate(pdus):
+        p = dc.replace(q, ref_index=i)
+        p.pos_x += 1
+        p.pos_y += 2
+        pdus2.append(p)
+
+    tile = v3c.AtlasTileLayer(
+        frame_index=1, patches=pdus2, tile_type=v3c.TILE_P, ref_patches=pdus
+    )
+    assert all(tile._patch_mode(p) == v3c.PATCH_MERGE for p in pdus2)
+    bw = BitWriter()
+    tile.write(bw)
+    merged_bits = len(bw.getvalue())
+
+    # force INTER for the same content by also touching all three groups
+    pdus3 = []
+    for i, q in enumerate(pdus):
+        p = dc.replace(q, ref_index=i)
+        p.pos_x += 1
+        p.size_u += 1
+        p.offset_u += 1
+        pdus3.append(p)
+    tile3 = v3c.AtlasTileLayer(
+        frame_index=1, patches=pdus3, tile_type=v3c.TILE_P, ref_patches=pdus
+    )
+    assert all(tile3._patch_mode(p) == v3c.PATCH_INTER for p in pdus3)
+    bw3 = BitWriter()
+    tile3.write(bw3)
+    assert merged_bits < len(bw3.getvalue())
+
+    t1 = v3c.AtlasTileLayer.read(BitReader(bw.getvalue()), ref_patches=pdus)
+    for a, b in zip(t1.patches, pdus2):
+        assert a.fields() == b.fields()
+
+
+def test_ptl_aaps_and_new_seis_roundtrip():
+    """PTL in the VPS, the AAPS camera parameters, and the codec-mapping /
+    attribute-transformation / volumetric-rectangle SEIs all survive a
+    write/read cycle."""
+    from vpcc_tpu.bitstream import v3c
+    from vpcc_tpu.bitstream.bitio import BitReader, BitWriter
+
+    vps = v3c.V3CParameterSet(
+        frame_width=640, frame_height=640, frame_count=2,
+        ptl=v3c.ProfileTierLevel(tier_flag=1, level_idc=60),
+    )
+    bw = BitWriter()
+    vps.write(bw)
+    v2 = v3c.V3CParameterSet.read(BitReader(bw.getvalue()))
+    assert v2.ptl == vps.ptl
+    assert v2.frame_width == 640
+
+    aaps = v3c.AtlasAdaptationParameterSet(
+        camera_model=1, scale=(65536, 65536, 32768),
+        offset=(-5, 7, 0), rotation=(-100, 0, 300),
+    )
+    seis = [
+        v3c.SEIComponentCodecMapping(),
+        v3c.SEIAttributeTransformationParams(params=[(0, 0, 65536, -12)]),
+        v3c.SEIVolumetricRectangleInformation(
+            rectangles=[(0, 16, 32, 256, 512)]
+        ),
+    ]
+    pdus = [v3c.PatchDataUnit(size_u=8, size_v=8)]
+    tiles = [v3c.AtlasTileLayer(frame_index=0, patches=pdus)]
+    payload = v3c.write_atlas_substream(
+        tiles, v3c.AtlasSequenceParameterSet(frame_width=64, frame_height=64),
+        v3c.AtlasFrameParameterSet(), prefix_seis=seis, aaps=aaps,
+    )
+    asps2, afps2, tiles2, hash_ok, seis2 = v3c.read_atlas_substream(payload)
+    assert all(hash_ok)
+    assert seis2["aaps"] == aaps
+    assert seis2[v3c.SEI_COMPONENT_CODEC_MAPPING].mappings[0] == (
+        v3c.CODEC_TPU_HEVC, "tpuh"
+    )
+    assert seis2[v3c.SEI_ATTRIBUTE_TRANSFORMATION_PARAMS].params == [
+        (0, 0, 65536, -12)
+    ]
+    assert seis2[v3c.SEI_VOLUMETRIC_RECTANGLE_INFORMATION].rectangles == [
+        (0, 16, 32, 256, 512)
+    ]

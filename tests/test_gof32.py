@@ -77,3 +77,46 @@ def test_gof32_roundtrip():
     # means the stream never grows super-linearly frame-over-frame
     per_frame_bits = len(stream) * 8 / 32 / frames[0].point_count
     assert per_frame_bits < 40, per_frame_bits
+
+
+def test_hierarchical_gop_structure_and_parity():
+    """RA coding structure: the encoder's dyadic tree (gof_structure), the
+    coded ref_frame_delta links, and decoder parity through multi-hop
+    references (reference: HM hierarchical GOP16,
+    cfg/hm/ctc-hm-geometry-ra.cfg)."""
+    from vpcc_tpu.bitstream import v3c
+
+    frames = _moving_gof(n_frames=9)
+    cfg = VPCCConfig()
+    cfg.geometry3dCoordinatesBitdepth = 7
+    cfg.minimumImageWidth = 128
+    cfg.minimumImageHeight = 128
+    cfg.resolution = 127
+    cfg.iterationCountRefineSegmentation = 4
+    cfg.geometryQP = 20
+    cfg.attributeQP = 26
+
+    enc = Encoder(cfg)
+    parent, qp_off = enc.gof_structure(9)
+    assert parent == [0, 0, 0, 2, 0, 4, 4, 6, 0]
+    assert qp_off[0] == 0 and qp_off[8] == 2  # cascade: lowbit 8 -> +2
+
+    stream, recons = enc.encode_gof(frames)
+    # the coded tiles carry the same tree
+    units = v3c.read_sample_stream(stream)
+    for utype, payload in units:
+        if utype == v3c.V3C_AD:
+            _, _, tiles, hash_ok, _ = v3c.read_atlas_substream(payload)
+            assert all(hash_ok)
+            deltas = [t.ref_frame_delta for t in tiles[1:]]
+            assert deltas == [fi - parent[fi] for fi in range(1, 9)]
+
+    dec = Decoder(VPCCConfig.from_args(["--removeDuplicatePoints=1"]))
+    decoded = dec.decode(stream)
+    assert len(decoded) == 9
+    for i, (a, b) in enumerate(zip(recons, decoded)):
+        assert a.point_count == b.point_count, i
+        ka = np.lexsort(a.positions.T)
+        kb = np.lexsort(b.positions.T)
+        np.testing.assert_array_equal(a.positions[ka], b.positions[kb], err_msg=f"frame {i}")
+        np.testing.assert_array_equal(a.colors[ka], b.colors[kb], err_msg=f"frame {i}")

@@ -169,3 +169,60 @@ def test_coverage_volume_exact_vs_bruteforce():
     np.testing.assert_array_equal(sel[:N], d2 <= 1)
     np.testing.assert_array_equal(det[:N], d2 <= 9)
     assert not sel[N:].any() and not det[N:].any()
+
+
+def test_color_presmoothing_matches_reference_semantics():
+    """presmooth_colors vs a direct NumPy transcription of
+    presmoothPointCloudColor (PCCEncoder.cpp:6593-6656): boundary points
+    with a deviant color in a low-entropy neighborhood snap to the integer
+    centroid; everything else is untouched."""
+    import jax.numpy as jnp
+
+    from vpcc_tpu.core.pointcloud import shape_bucket
+    from vpcc_tpu.ops.smoothing import presmooth_colors
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    pos = np.unique(rng.integers(0, 64, (n, 3), dtype=np.int32), axis=0)
+    n = len(pos)
+    col = np.full((n, 3), 100, np.int32)          # uniform -> entropy 0
+    out_i = rng.integers(0, n, 40)                 # outlier colors
+    col[out_i] = 250
+    bnd = np.zeros(n, bool)
+    bnd[: n // 2] = True                           # half are boundary
+
+    cap = shape_bucket(n)
+    posp = np.full((cap, 3), -(1 << 20), np.int32); posp[:n] = pos
+    colp = np.zeros((cap, 3), np.int32); colp[:n] = col
+    bndp = np.zeros(cap, bool); bndp[:n] = bnd
+
+    k, radius2, thr_dist, thr_ent = 16, 64.0, 10.0, 4.5
+    sm = np.asarray(presmooth_colors(
+        jnp.asarray(posp), jnp.asarray(colp), jnp.asarray(n),
+        jnp.asarray(bndp), 6, k, radius2, thr_dist, thr_ent,
+    ))[:n]
+
+    # NumPy reference on the same (windowed-KNN) neighbor sets
+    from vpcc_tpu.ops import neighbors as nb
+    grid = nb.build_grid(jnp.asarray(posp), 6)
+    nidx, nd2 = nb.knn(grid, jnp.asarray(posp), jnp.asarray(pos), k=k, bucket=6)
+    nidx, nd2 = np.asarray(nidx), np.asarray(nd2)
+    exp = col.copy()
+    for i in range(n):
+        if not bnd[i]:
+            continue
+        sel = (nd2[i] < int(nb.MAX_DIST2)) & (nd2[i] <= radius2)
+        if not sel.any():
+            continue
+        nc = col[nidx[i][sel]]
+        m = sel.sum()
+        centroid = (nc.sum(0) + m // 2) // m
+        y = (0.2126 * nc[:, 0] + 0.7152 * nc[:, 1] + 0.0722 * nc[:, 2]).astype(np.uint8)
+        _, cnts = np.unique(y, return_counts=True)
+        p = cnts / m
+        H = float(-(p * np.log2(p)).sum())
+        if np.abs(centroid - col[i]).sum() >= thr_dist and H < thr_ent:
+            exp[i] = centroid
+    np.testing.assert_array_equal(sm, exp)
+    # sanity: at least one boundary outlier was actually smoothed
+    assert (sm != col).any()

@@ -89,9 +89,13 @@ def main(argv=None) -> int:
             line = f"  {name:8s} {len(payload):9d} bytes"
             if utype == v3c.V3C_VPS:
                 vps = v3c.V3CParameterSet.read(BitReader(payload))
+                p = vps.ptl
                 line += (
                     f"  {vps.frame_width}x{vps.frame_height}, "
-                    f"{vps.frame_count} frames, maps {vps.map_count_minus1 + 1}"
+                    f"{vps.frame_count} frames, maps {vps.map_count_minus1 + 1}, "
+                    f"PTL codec_group={p.profile_codec_group_idc} "
+                    f"toolset={p.profile_toolset_idc} tier={p.tier_flag} "
+                    f"level={p.level_idc}"
                 )
             elif utype == v3c.V3C_AD:
                 asps, afps, tiles, hash_ok, seis = v3c.read_atlas_substream(
@@ -103,8 +107,9 @@ def main(argv=None) -> int:
                     f"{len(tiles)} ATLs, {n_patches} patches, "
                     f"hash SEI {'OK' if all(hash_ok) else 'MISMATCH'}"
                 )
-                for ptype, sei in sorted(seis.items()):
-                    line += f"\n    prefix SEI {ptype}: {sei}"
+                for ptype, sei in sorted(seis.items(), key=lambda kv: str(kv[0])):
+                    label = "AAPS" if ptype == "aaps" else f"prefix SEI {ptype}"
+                    line += f"\n    {label}: {sei}"
             print(line)
         gof += 1
     return 0

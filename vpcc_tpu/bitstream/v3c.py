@@ -40,9 +40,13 @@ NAL_PREFIX_NSEI = 43   # non-essential prefix SEI
 NAL_SUFFIX_NSEI = 44   # non-essential suffix SEI
 NAL_PREFIX_ESEI = 45   # essential prefix SEI (post-processing params)
 NAL_SUFFIX_ESEI = 46
+NAL_AAPS = 47          # atlas adaptation parameter set
 
 # SEI payload types (reference: PCCBitstreamCommon.h:228-254 SeiPayloadType)
+SEI_COMPONENT_CODEC_MAPPING = 11
+SEI_VOLUMETRIC_RECTANGLE_INFORMATION = 15
 SEI_DECODED_ATLAS_INFORMATION_HASH = 19
+SEI_ATTRIBUTE_TRANSFORMATION_PARAMS = 64
 SEI_OCCUPANCY_SYNTHESIS = 65
 SEI_GEOMETRY_SMOOTHING = 66
 SEI_ATTRIBUTE_SMOOTHING = 67
@@ -53,6 +57,39 @@ CODEC_TPU_INTRA = 1        # TPU-native DCT+DC-DPCM codec (legacy, round 1)
 CODEC_TPU_RLE = 2          # binary occupancy RLE+arith
 CODEC_LOSSLESS_DELTA = 3   # zlib of the mod-2^b delta against the layer-0 map
 CODEC_TPU_HEVC = 4         # TPU-native HEVC-class wavefront codec (video/hevc.py)
+
+
+@dataclasses.dataclass
+class ProfileTierLevel:
+    """profile_tier_level() (reference: profileTierLevel,
+    PCCBitstreamWriter.cpp:472-491; checked by PCCConformance.cpp:210-307).
+
+    codec_group 127 = MP4RA (external codec mapping via the
+    COMPONENT_CODEC_MAPPING SEI — how our TPU-native video codec is
+    signalled, PCCBitstreamCommon.h:165)."""
+
+    tier_flag: int = 0
+    profile_codec_group_idc: int = 127   # CODEC_GROUP_MP4RA
+    profile_toolset_idc: int = 1         # V-PCC extended
+    profile_reconstruction_idc: int = 0  # Rec0
+    level_idc: int = 30                  # level 1.0 (30), 2.0 (60), ...
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(1, self.tier_flag)
+        bw.u(7, self.profile_codec_group_idc)
+        bw.u(8, self.profile_toolset_idc)
+        bw.u(8, self.profile_reconstruction_idc)
+        bw.u(8, self.level_idc)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "ProfileTierLevel":
+        p = cls()
+        p.tier_flag = br.u(1)
+        p.profile_codec_group_idc = br.u(7)
+        p.profile_toolset_idc = br.u(8)
+        p.profile_reconstruction_idc = br.u(8)
+        p.level_idc = br.u(8)
+        return p
 
 
 @dataclasses.dataclass
@@ -76,8 +113,10 @@ class V3CParameterSet:
     vps_id: int = 0
     # EOM (enhanced occupancy map): number of in-between bit planes, 0 = off
     eom_bits: int = 0
+    ptl: ProfileTierLevel = dataclasses.field(default_factory=ProfileTierLevel)
 
     def write(self, bw: BitWriter) -> None:
+        self.ptl.write(bw)
         bw.u(4, self.vps_id)
         bw.u(16, self.frame_width)
         bw.u(16, self.frame_height)
@@ -98,6 +137,7 @@ class V3CParameterSet:
     @classmethod
     def read(cls, br: BitReader) -> "V3CParameterSet":
         v = cls()
+        v.ptl = ProfileTierLevel.read(br)
         v.vps_id = br.u(4)
         v.frame_width = br.u(16)
         v.frame_height = br.u(16)
@@ -118,12 +158,24 @@ class V3CParameterSet:
 
 
 # tile types / patch modes (reference: PCCBitstreamCommon.h:175-211
-# I_INTRA and P_SKIP/P_MERGE/P_INTER/P_INTRA enums)
+# I_INTRA and P_SKIP/P_MERGE/P_INTER/P_INTRA enums; P-mode numbering
+# matches the reference PCCPatchModeP order)
 TILE_I = 0
 TILE_P = 1
 PATCH_SKIP = 0
-PATCH_INTER = 1
-PATCH_INTRA = 2
+PATCH_MERGE = 1
+PATCH_INTER = 2
+PATCH_INTRA = 3
+
+# P_MERGE field groups: a merge patch copies its reference and overrides
+# only the flagged groups (reference mpdu_override_2d/3d_params_flag,
+# PCCBitstreamWriter.cpp mergePatchDataUnit) — temporally matched patches
+# that only slide in 2D cost 3 flag bits instead of 10 zero-deltas
+_MERGE_GROUPS = (
+    ("pos_x", "pos_y"),                                   # 2d position
+    ("size_x_m1", "size_y_m1", "size_u", "size_v"),       # 2d size
+    ("offset_u", "offset_v", "offset_d", "range_d"),      # 3d params
+)
 
 
 @dataclasses.dataclass
@@ -260,14 +312,21 @@ class AtlasTileLayer:
     raw_colors: Optional[np.ndarray] = None     # (R, 3) uint8
     geometry_bits: int = 10
     tile_type: int = TILE_I
-    ref_patches: Optional[List[PatchDataUnit]] = None  # prev tile (P-tiles)
+    ref_patches: Optional[List[PatchDataUnit]] = None  # ref tile (P-tiles)
+    # P-tiles: which earlier frame the patch prediction references, coded
+    # as frame_index - ref_frame_index (1 = previous frame, the low-delay
+    # chain; >1 = hierarchical-GOP tree parent, reference ref-list syntax
+    # atgh_ref_atlas_frame_list, PCCBitstreamCommon.h AtlasTileHeader)
+    ref_frame_delta: int = 1
     plr_enabled: int = 0  # from ASPS; set by the substream writer/reader
 
     def _patch_mode(self, p: PatchDataUnit) -> int:
         """SKIP if the matched reference predicts every field exactly;
-        INTER if at least projection+orientation carry over; else INTRA
-        (reference patch modes P_SKIP/P_INTER/P_INTRA,
-        PCCBitstreamCommon.h:194-211, decoded at PCCDecoder.cpp:829-1213)."""
+        MERGE if at most 2 of the 3 field groups changed (cheaper than
+        INTER's full delta list); INTER if at least projection+orientation
+        carry over; else INTRA (reference patch modes
+        P_SKIP/P_MERGE/P_INTER/P_INTRA, PCCBitstreamCommon.h:194-211,
+        decoded at PCCDecoder.cpp:829-1213)."""
         if (
             self.tile_type != TILE_P
             or p.ref_index < 0
@@ -278,11 +337,19 @@ class AtlasTileLayer:
         q = self.ref_patches[p.ref_index]
         if q.projection_id != p.projection_id or q.orientation != p.orientation:
             return PATCH_INTRA
-        return PATCH_SKIP if q.fields() == p.fields() else PATCH_INTER
+        if q.fields() == p.fields():
+            return PATCH_SKIP
+        changed = sum(
+            1 for grp in _MERGE_GROUPS
+            if any(getattr(p, f) != getattr(q, f) for f in grp)
+        )
+        return PATCH_MERGE if changed <= 2 else PATCH_INTER
 
     def write(self, bw: BitWriter) -> None:
         bw.ue(self.frame_index)
         bw.u(1, self.tile_type)
+        if self.tile_type == TILE_P:
+            bw.ue(self.ref_frame_delta - 1)
         bw.ue(len(self.patches))
         expected_ref = 0
         for p in self.patches:
@@ -300,7 +367,15 @@ class AtlasTileLayer:
                 continue
             bw.se(p.ref_index - expected_ref)
             expected_ref = p.ref_index + 1
-            if mode != PATCH_SKIP:
+            if mode == PATCH_MERGE:
+                q = self.ref_patches[p.ref_index]
+                for grp in _MERGE_GROUPS:
+                    over = any(getattr(p, f) != getattr(q, f) for f in grp)
+                    bw.u(1, int(over))
+                    if over:
+                        for f in grp:
+                            bw.se(getattr(p, f) - getattr(q, f))
+            elif mode != PATCH_SKIP:
                 q = self.ref_patches[p.ref_index]
                 for a, b in zip(p.fields(), q.fields()):
                     bw.se(a - b)
@@ -336,11 +411,22 @@ class AtlasTileLayer:
         bw.byte_align()
 
     @classmethod
-    def read(cls, br: BitReader, ref_patches=None, plr_enabled: int = 0) -> "AtlasTileLayer":
+    def read(cls, br: BitReader, ref_patches=None, plr_enabled: int = 0,
+             prior_tiles=None) -> "AtlasTileLayer":
+        """prior_tiles: all already-parsed tiles of the GOF, indexed by
+        frame — P-tiles resolve their reference via ref_frame_delta
+        (hierarchical GOPs reference a tree parent, not just frame-1).
+        `ref_patches` remains as the direct single-reference form."""
         t = cls()
         t.plr_enabled = plr_enabled
         t.frame_index = br.ue()
         t.tile_type = br.u(1)
+        if t.tile_type == TILE_P:
+            t.ref_frame_delta = br.ue() + 1
+            if prior_tiles is not None:
+                ref_patches = prior_tiles[
+                    t.frame_index - t.ref_frame_delta
+                ].patches
         n = br.ue()
         t.patches = []
         expected_ref = 0
@@ -370,6 +456,11 @@ class AtlasTileLayer:
                 vals = [v + br.se() for v in vals]
             (p.pos_x, p.pos_y, p.size_x_m1, p.size_y_m1, p.offset_u,
              p.offset_v, p.offset_d, p.range_d, p.size_u, p.size_v) = vals
+            if mode == PATCH_MERGE:
+                for grp in _MERGE_GROUPS:
+                    if br.u(1):
+                        for f in grp:
+                            setattr(p, f, getattr(p, f) + br.se())
             if plr_enabled:
                 _read_plr(br, p)
             t.patches.append(p)
@@ -467,6 +558,65 @@ class AtlasSequenceParameterSet:
                 tbl[i, 3] = br.u(2) + 1
             a.plr_mode_table = tbl
         a.extended_projection_enabled_flag = br.u(1)
+        br.byte_align()
+        return a
+
+
+@dataclasses.dataclass
+class AtlasAdaptationParameterSet:
+    """AAPS with the V-PCC extension's atlas camera parameters (reference:
+    atlasAdaptationParameterSetRbsp, PCCBitstreamWriter.cpp:891-905, and
+    aapsVpccExtension/atlasCameraParameters, :2472-2500): a per-atlas
+    model-to-scene transform (scale u(32) x3 / offset i(32) x3 / rotation
+    i(16) x3) the renderer applies after reconstruction."""
+
+    aaps_id: int = 0
+    camera_model: int = 0          # 1 = orthographic parameters present
+    scale: Optional[Tuple[int, int, int]] = None
+    offset: Optional[Tuple[int, int, int]] = None
+    rotation: Optional[Tuple[int, int, int]] = None
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(self.aaps_id)
+        has_cam = self.camera_model == 1
+        bw.u(1, 1)          # extension_flag
+        bw.u(1, 1)          # vpcc_extension_flag
+        bw.u(7, 0)          # extension_7bits
+        bw.u(1, int(has_cam))  # camera_parameters_present_flag
+        if has_cam:
+            bw.u(8, self.camera_model)
+            bw.u(1, int(self.scale is not None))
+            bw.u(1, int(self.offset is not None))
+            bw.u(1, int(self.rotation is not None))
+            if self.scale is not None:
+                for v in self.scale:
+                    bw.u(32, v)
+            if self.offset is not None:
+                for v in self.offset:
+                    bw.u(32, v & 0xFFFFFFFF)
+            if self.rotation is not None:
+                for v in self.rotation:
+                    bw.u(16, v & 0xFFFF)
+        bw.byte_align()
+
+    @classmethod
+    def read(cls, br: BitReader) -> "AtlasAdaptationParameterSet":
+        a = cls()
+        a.aaps_id = br.ue()
+        br.u(1)  # extension_flag
+        br.u(1)  # vpcc_extension_flag
+        br.u(7)  # extension_7bits
+        if br.u(1):
+            a.camera_model = br.u(8)
+            has_s, has_o, has_r = br.u(1), br.u(1), br.u(1)
+            sgn32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v
+            sgn16 = lambda v: v - (1 << 16) if v >= (1 << 15) else v
+            if has_s:
+                a.scale = tuple(br.u(32) for _ in range(3))
+            if has_o:
+                a.offset = tuple(sgn32(br.u(32)) for _ in range(3))
+            if has_r:
+                a.rotation = tuple(sgn16(br.u(16)) for _ in range(3))
         br.byte_align()
         return a
 
@@ -621,10 +771,121 @@ class SEIOccupancySynthesis:
         return s
 
 
+@dataclasses.dataclass
+class SEIComponentCodecMapping:
+    """Codec-id -> 4CC mapping for the video substreams (reference
+    SEIComponentCodecMapping, PCCSei.h; required by the MP4RA codec group
+    our PTL signals — it is how a non-enumerated codec like the TPU-native
+    wavefront codec is identified, PCCBitstreamCommon.h:165)."""
+
+    mappings: List[Tuple[int, str]] = dataclasses.field(
+        default_factory=lambda: [
+            (CODEC_TPU_HEVC, "tpuh"),
+            (CODEC_TPU_RLE, "tprl"),
+            (CODEC_LOSSLESS_ZLIB, "zlib"),
+            (CODEC_LOSSLESS_DELTA, "zlbd"),
+        ]
+    )
+
+    payload_type = SEI_COMPONENT_CODEC_MAPPING
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(8, len(self.mappings) - 1)
+        for cid, fourcc in self.mappings:
+            bw.u(8, cid)
+            raw = fourcc.encode()[:4].ljust(4, b"\0")
+            bw.bytes_(raw)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIComponentCodecMapping":
+        s = cls(mappings=[])
+        n = br.u(8) + 1
+        for _ in range(n):
+            cid = br.u(8)
+            fourcc = br.bytes_(4).rstrip(b"\0").decode()
+            s.mappings.append((cid, fourcc))
+        return s
+
+
+@dataclasses.dataclass
+class SEIAttributeTransformationParams:
+    """Per-attribute-dimension scale/offset the renderer applies after
+    decoding (reference SEIAttributeTransformationParams, PCCSei.h
+    atp_* syntax; carried for HDR / reflectance range mapping)."""
+
+    # (attribute_idx, dimension_idx, scale_q16 u32, offset i32)
+    params: List[Tuple[int, int, int, int]] = dataclasses.field(
+        default_factory=list
+    )
+
+    payload_type = SEI_ATTRIBUTE_TRANSFORMATION_PARAMS
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(len(self.params))
+        for ai, di, scale, off in self.params:
+            bw.u(7, ai)
+            bw.u(2, di)
+            bw.u(32, scale)
+            bw.u(32, off & 0xFFFFFFFF)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIAttributeTransformationParams":
+        s = cls()
+        n = br.ue()
+        for _ in range(n):
+            ai = br.u(7)
+            di = br.u(2)
+            scale = br.u(32)
+            off = br.u(32)
+            if off >= 1 << 31:
+                off -= 1 << 32
+            s.params.append((ai, di, scale, off))
+        return s
+
+
+@dataclasses.dataclass
+class SEIVolumetricRectangleInformation:
+    """2D atlas rectangles labelling scene objects (reference
+    SEIVolumetricRectangleInformation, PCCSei.h vri_* syntax — the
+    volumetric-tiling hook consumers use for partial access)."""
+
+    # (object_idx, x, y, width, height)
+    rectangles: List[Tuple[int, int, int, int, int]] = dataclasses.field(
+        default_factory=list
+    )
+    persistence_flag: int = 1
+
+    payload_type = SEI_VOLUMETRIC_RECTANGLE_INFORMATION
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(1, self.persistence_flag)
+        bw.ue(len(self.rectangles))
+        for oi, x, y, w, h in self.rectangles:
+            bw.ue(oi)
+            bw.u(16, x)
+            bw.u(16, y)
+            bw.u(16, w)
+            bw.u(16, h)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIVolumetricRectangleInformation":
+        s = cls()
+        s.persistence_flag = br.u(1)
+        n = br.ue()
+        for _ in range(n):
+            s.rectangles.append(
+                (br.ue(), br.u(16), br.u(16), br.u(16), br.u(16))
+            )
+        return s
+
+
 _SEI_CLASSES = {
     SEI_GEOMETRY_SMOOTHING: SEIGeometrySmoothing,
     SEI_ATTRIBUTE_SMOOTHING: SEIAttributeSmoothing,
     SEI_OCCUPANCY_SYNTHESIS: SEIOccupancySynthesis,
+    SEI_COMPONENT_CODEC_MAPPING: SEIComponentCodecMapping,
+    SEI_ATTRIBUTE_TRANSFORMATION_PARAMS: SEIAttributeTransformationParams,
+    SEI_VOLUMETRIC_RECTANGLE_INFORMATION: SEIVolumetricRectangleInformation,
 }
 
 
@@ -658,8 +919,9 @@ def write_atlas_substream(
     asps: AtlasSequenceParameterSet,
     afps: AtlasFrameParameterSet,
     prefix_seis: "List | None" = None,
+    aaps: "AtlasAdaptationParameterSet | None" = None,
 ) -> bytes:
-    """NAL-unit atlas substream: ASPS, AFPS, essential prefix SEIs
+    """NAL-unit atlas substream: ASPS, AFPS, AAPS, essential prefix SEIs
     (post-processing parameters), then per frame an ATL NAL (IDR for
     frame 0) and a suffix SEI with the decoded-atlas-info hash
     (reference: PCCBitstreamWriter::atlasSubStream, PCCBitstreamWriter.cpp:348)."""
@@ -670,6 +932,10 @@ def write_atlas_substream(
     b = BitWriter()
     afps.write(b)
     _write_nal(bw, NAL_AFPS, b.getvalue())
+    if aaps is not None:
+        b = BitWriter()
+        aaps.write(b)
+        _write_nal(bw, NAL_AAPS, b.getvalue())
     for sei in prefix_seis or ():
         body = BitWriter()
         sei.write(body)
@@ -695,9 +961,9 @@ def write_atlas_substream(
 
 def read_atlas_substream(payload: bytes):
     """Returns (asps, afps, tiles, hash_ok: List[bool], seis: dict keyed by
-    SEI payload type).  Verifies each frame's
-    decoded-atlas-information-hash SEI against the parsed patches
-    (reference: PCCDecoder.cpp:1214)."""
+    SEI payload type; seis also carries the AAPS under key "aaps").
+    Verifies each frame's decoded-atlas-information-hash SEI against the
+    parsed patches (reference: PCCDecoder.cpp:1214)."""
     br = BitReader(payload)
     asps = afps = None
     tiles: List[AtlasTileLayer] = []
@@ -713,10 +979,13 @@ def read_atlas_substream(payload: bytes):
             asps = AtlasSequenceParameterSet.read(body)
         elif nal_type == NAL_AFPS:
             afps = AtlasFrameParameterSet.read(body)
+        elif nal_type == NAL_AAPS:
+            seis["aaps"] = AtlasAdaptationParameterSet.read(body)
         elif nal_type in (NAL_IDR_N_LP, NAL_TRAIL_N):
             t = AtlasTileLayer.read(
                 body, ref_patches=prev,
                 plr_enabled=asps.plr_enabled_flag if asps else 0,
+                prior_tiles=tiles,
             )
             tiles.append(t)
             prev = t.patches

@@ -64,6 +64,9 @@ class Decoder:
     def __init__(self, cfg: VPCCConfig | None = None):
         self.cfg = cfg or VPCCConfig()
         self.frame_info: List[dict] = []
+        # PTL level-limit findings (vps.ptl vs the decoded frames); the
+        # conformance app and tests read this
+        self.level_violations: List[str] = []
 
     def decode(self, stream: bytes) -> List[PointCloudData]:
         units = v3c.read_sample_stream(stream)
@@ -137,6 +140,15 @@ class Decoder:
         out: List[PointCloudData] = []
         geo_decs = {m: codecs.GeometrySubstreamDecoder(cfg) for m in geo_subs}
         attr_decs = {m: codecs.AttributeSubstreamDecoder(cfg) for m in attr_subs}
+        # coding-structure parents from the ATL ref deltas (hierarchical
+        # GOPs reference a tree parent, not just frame-1); decoded map
+        # banks are pruned once no later frame needs them
+        parent = [
+            fi - t.ref_frame_delta if t.tile_type == v3c.TILE_P else -1
+            for fi, t in enumerate(tiles)
+        ]
+        geo_bank: dict = {}
+        attr_bank: dict = {}
         for fi in range(vps.frame_count):
             patches = [
                 _pdu_to_patch(pdu, i, vps) for i, pdu in enumerate(tiles[fi].patches)
@@ -153,11 +165,32 @@ class Decoder:
                     (np.asarray(geo[0]).astype(np.uint16) if isinstance(geo[0], np.ndarray) else geo[0])
                     if geo else None
                 )
-                geo.append(geo_decs[m].decode(geo_subs[m].frames[fi], layer_ref=layer_ref))
+                kw = {}
+                if not geo:
+                    kw["temporal_ref"] = (
+                        geo_bank.get(parent[fi]) if parent[fi] >= 0 else None
+                    )
+                geo.append(geo_decs[m].decode(
+                    geo_subs[m].frames[fi], layer_ref=layer_ref, **kw
+                ))
             attr = []
             for m in sorted(attr_subs):
                 layer_ref = attr[0] if attr else None
-                attr.append(attr_decs[m].decode(attr_subs[m].frames[fi], layer_ref=layer_ref))
+                kw = {}
+                if not attr:
+                    kw["temporal_ref"] = (
+                        attr_bank.get(parent[fi]) if parent[fi] >= 0 else None
+                    )
+                attr.append(attr_decs[m].decode(
+                    attr_subs[m].frames[fi], layer_ref=layer_ref, **kw
+                ))
+            needed = set(parent[fi + 1 :])
+            if fi in needed:
+                geo_bank[fi] = geo_decs[0].ref
+                attr_bank[fi] = attr_decs[0].refs
+            for bank in (geo_bank, attr_bank):
+                for k in [k for k in bank if k not in needed]:
+                    del bank[k]
             btp = atlas_mod.derive_block_to_patch(
                 occ, patches, width, height, vps.occupancy_resolution
             )
@@ -201,6 +234,17 @@ class Decoder:
                 pc = pc.remove_duplicates()
             self.frame_info.append(
                 dict(patch_count=len(patches), width=width, height=height)
+            )
+            # level-limit conformance against the signalled PTL (reference
+            # PCCConformance::checkLevelLimits, PCCConformance.cpp:210-307)
+            from vpcc_tpu import conformance as conf_mod
+
+            self.level_violations.extend(
+                f"frame {fi}: {e}"
+                for e in conf_mod.check_level_limits(
+                    vps.ptl.level_idc, pc.point_count, len(patches),
+                    width, height,
+                )
             )
             out.append(pc)
         return out

@@ -28,6 +28,7 @@ from vpcc_tpu.core.patch import Patch, build_patch_from_component
 from vpcc_tpu.core.pointcloud import PAD_COORD, from_host, shape_bucket
 from vpcc_tpu.ops import cc as cc_mod, coverage
 from vpcc_tpu.ops import neighbors, normals as normals_mod, recolor, voxelize
+from vpcc_tpu.ops import smoothing as smoothing_mod
 from vpcc_tpu.ops.segmentation import (
     get_orientations,
     initial_segmentation,
@@ -333,7 +334,19 @@ class Encoder:
         streams: "dict | None" = None,
         prev_patches: "List[Patch] | None" = None,
         seg: "tuple | None" = None,
+        temporal_refs: "dict | None" = None,
+        qp_offset: int = 0,
+        qp_offset_geo: "int | None" = None,
     ) -> EncodedFrame:
+        """temporal_refs: explicit decoded reference maps per substream
+        ({'geo': plane|None, 'attr': (y, c)|None}) — hierarchical GOPs pass
+        the tree parent's; None entries force intra; absent dict keeps the
+        legacy previous-frame chain.  qp_offset: hierarchical QP cascade for
+        the attribute substreams; qp_offset_geo overrides it for geometry
+        (kept gentle — D1 tracks geometry QP directly, while attribute
+        leaves absorb deep offsets cheaply)."""
+        if qp_offset_geo is None:
+            qp_offset_geo = qp_offset
         cfg = self.cfg
         if streams is None:
             streams = self._new_streams()
@@ -407,10 +420,14 @@ class Encoder:
         geo_payloads = []
         geo_dec = []
         for name, g in geo_layers:
+            kw = {}
+            if temporal_refs is not None and not geo_dec:
+                kw["temporal_ref"] = temporal_refs.get("geo")
             payload, dec = streams[name].encode(
                 g, occ=frame.occupancy,
                 layer_ref=geo_dec[0] if geo_dec else None,
                 weight=occ_rec,  # RDO cares only about point-generating px
+                qp_offset=qp_offset_geo, **kw,
             )
             geo_payloads.append(payload)
             geo_dec.append(dec)
@@ -497,6 +514,21 @@ class Encoder:
                 max_color_d2_fwd=cfg.maxColorDist2Fwd,
                 dist_offset_fwd=cfg.distOffsetFwd,
             )
+        if cfg.flagColorPreSmoothing and cfg.attributeQP > 4 and not cfg.rawPointsPatch:
+            # lossy conditions only: the lossless-attribute path must keep
+            # the transferred colors verbatim (reference lossless cfgs
+            # disable the tool)
+            # reference presmoothPointCloudColor (PCCEncoder.cpp:6593-6656,
+            # ON in ctc-common.cfg): boundary points whose color strays
+            # from a low-entropy neighborhood centroid snap to it BEFORE
+            # the attribute video — encoder-side only, no syntax
+            rec_col = smoothing_mod.presmooth_colors(
+                recon.pos, rec_col, recon.count, recon.bnd, bits,
+                k=int(cfg.neighborCountColorPreSmoothing),
+                radius2=float(cfg.radius2ColorPreSmoothing),
+                thr_dist=float(cfg.thresholdColorPreSmoothing),
+                thr_entropy=float(cfg.thresholdColorPreSmoothingLocalEntropy),
+            )
         rec_col.block_until_ready()
         st.recolor_s = time.perf_counter() - t
         t = time.perf_counter()
@@ -510,10 +542,14 @@ class Encoder:
         occ_dev = jnp.asarray(frame.occupancy)
         attr_layers = ((0, img0),) if plr_on else ((0, img0), (1, img1))
         for ly, img in attr_layers:
+            kw = {}
+            if temporal_refs is not None and not attr_dec:
+                kw["temporal_ref"] = temporal_refs.get("attr")
             payload, dec = streams[f"attr{ly}"].encode(
                 img, occ=occ_dev,
                 layer_ref=attr_dec[0] if attr_dec else None,
                 weight=occ_rec,
+                qp_offset=qp_offset, **kw,
             )
             attr_payloads.append(payload)
             attr_dec.append(dec)
@@ -564,16 +600,57 @@ class Encoder:
             "attr1": codecs.AttributeSubstreamEncoder(self.cfg),
         }
 
+    def gof_structure(self, n: int) -> Tuple[List[int], List[int]]:
+        """(parent, qp_offset) per frame for this GOF's coding structure.
+
+        Random access (default, reference cfg/condition/ctc-random-access.cfg
+        -> HM hierarchical GOP16, ctc-hm-geometry-ra.cfg): a dyadic
+        hierarchy inside each 16-frame GOP — frame f references
+        f - lowbit(f & 15 or 16), so every frame's reference distance halves
+        per level, frames at the same level are INDEPENDENT (the multi-chip
+        frame-parallel axis), and a QP cascade moves rate down the tree.
+        Low delay (cfg geometryConfig containing "-ld"): the previous-frame
+        P chain.  Frame 0 of the GOF is always the IRAP."""
+        cfg = self.cfg
+        ld = "-ld" in (cfg.geometryConfig or "") or (
+            str(getattr(cfg, "extra", {}).get("gofStructure", "")) == "ld"
+        )
+        parent = [0] * n
+        qp_off = [0] * n
+        gop = 16
+        for f in range(1, n):
+            if ld:
+                parent[f] = f - 1
+                qp_off[f] = 1
+                continue
+            pos = f % gop
+            if pos == 0:
+                parent[f] = f - gop          # GOP anchor refs previous anchor
+                qp_off[f] = 1
+            else:
+                low = pos & -pos
+                parent[f] = f - low
+                qp_off[f] = min(1 + (gop // low).bit_length() - 1, 5)
+        return parent, qp_off
+
     def encode_gof(self, frames: List[PointCloudData]) -> Tuple[bytes, List[PointCloudData]]:
         """Encode a group of frames into one V3C sample stream.
 
         Frame 0 is an I-frame; later frames use temporally-consistent packing
         (reference: spatialConsistencyPackFlexible, PCCEncoder.cpp:1183) and
-        P-frame video prediction when `constrainedPack` is on."""
+        P-frame video prediction when `constrainedPack` is on.  The
+        prediction structure (hierarchical RA vs low-delay chain) comes from
+        `gof_structure`; every P frame references its tree parent's DECODED
+        maps and patch list."""
         cfg = self.cfg
         streams = self._new_streams()
         encoded = []
-        prev_patches: List[Patch] | None = None
+        parent, qp_off = self.gof_structure(len(frames))
+        # decoded-reference banks, keyed by frame index, pruned as the tree
+        # consumes them
+        geo_bank: dict = {}
+        attr_bank: dict = {}
+        needed = [set(parent[i + 1 :]) for i in range(len(frames))] + [set()]
         pending_seg = self.segment_dispatch(frames[0]) if frames else None
         for i, f in enumerate(frames):
             seg = pending_seg
@@ -582,16 +659,50 @@ class Encoder:
             # host-side stages (patch gen, packing, entropy)
             if i + 1 < len(frames):
                 pending_seg = self.segment_dispatch(frames[i + 1])
-            e = self.encode_frame(f, streams=streams, prev_patches=prev_patches, seg=seg)
+            if i == 0:
+                trefs = {"geo": None, "attr": None}
+                prev_patches = None
+            else:
+                trefs = {
+                    "geo": geo_bank.get(parent[i]),
+                    "attr": attr_bank.get(parent[i]),
+                }
+                prev_patches = encoded[parent[i]].patches
+            e = self.encode_frame(
+                f, streams=streams, prev_patches=prev_patches, seg=seg,
+                temporal_refs=trefs, qp_offset=qp_off[i],
+                qp_offset_geo=min(qp_off[i], 1),
+            )
             encoded.append(e)
-            prev_patches = e.patches
+            if i in needed[i]:
+                geo_bank[i] = streams["geo0"].ref
+                attr_bank[i] = streams["attr0"].refs
+            for bank in (geo_bank, attr_bank):
+                for k in [k for k in bank if k not in needed[i]]:
+                    del bank[k]
         width = max(e.width for e in encoded)
         height = max(e.height for e in encoded)
 
         n_geo_maps = len(encoded[0].geometry_payloads)
         n_attr_maps = len(encoded[0].attribute_payloads)
         plr_on = n_geo_maps == 1
+        # profile/tier/level: smallest level whose limits cover this GOF
+        # (reference fills ptl_ from config and PCCConformance.cpp:210-307
+        # validates; we derive it from the actual coded extent)
+        from vpcc_tpu import conformance as conf_mod
+
+        max_pts = max(e.recon.point_count for e in encoded)
+        max_patches = max(len(e.patches) for e in encoded)
+        level = next(
+            (
+                lv
+                for lv, (mp, mpa, mat) in sorted(conf_mod.LEVEL_LIMITS.items())
+                if max_pts <= mp and max_patches <= mpa and width * height <= mat
+            ),
+            max(conf_mod.LEVEL_LIMITS),
+        )
         vps = v3c.V3CParameterSet(
+            ptl=v3c.ProfileTierLevel(level_idc=level),
             frame_width=width,
             frame_height=height,
             eom_bits=(
@@ -616,7 +727,7 @@ class Encoder:
         # from the previous tile (reference inter/merge/skip patch modes,
         # PCCDecoder.cpp:750-1213; NAL assembly PCCBitstreamWriter.cpp:348)
         tiles = []
-        prev_pdus = None
+        pdus_list = []
         for fi, e in enumerate(encoded):
             pdus = [_patch_to_pdu(p, cfg) for p in e.patches]
             tiles.append(v3c.AtlasTileLayer(
@@ -625,10 +736,11 @@ class Encoder:
                 raw_positions=e.raw_positions,
                 raw_colors=e.raw_colors,
                 geometry_bits=cfg.geometryBitDepth3D,
-                tile_type=v3c.TILE_I if prev_pdus is None else v3c.TILE_P,
-                ref_patches=prev_pdus,
+                tile_type=v3c.TILE_I if fi == 0 else v3c.TILE_P,
+                ref_patches=None if fi == 0 else pdus_list[parent[fi]],
+                ref_frame_delta=max(fi - parent[fi], 1),
             ))
-            prev_pdus = pdus
+            pdus_list.append(pdus)
         from vpcc_tpu.ops.plr import MODE_TABLE as _PLR_TABLE
 
         ntbl = max(min(int(cfg.plrlNumberOfModes), len(_PLR_TABLE)), 1)
@@ -668,8 +780,35 @@ class Encoder:
                 filter_size=pbf_mod.pbf_filter_size(cfg),
                 log2_threshold=cfg.pbfLog2Threshold,
             ))
+        # codec-mapping SEI: mandatory companion of the MP4RA codec group
+        # the PTL signals (reference COMPONENT_CODEC_MAPPING,
+        # PCCBitstreamCommon.h:165,240)
+        prefix_seis.append(v3c.SEIComponentCodecMapping())
+        # volumetric-rectangle SEI: the patch bounding rectangle per GOF
+        # (object 0 = the whole cloud; partial-access consumers crop by it)
+        occ_res = cfg.occupancyResolution
+        x0 = min(min(p.u0 for p in e.patches) for e in encoded if e.patches)
+        y0 = min(min(p.v0 for p in e.patches) for e in encoded if e.patches)
+        x1 = max(max((p.u0 + p.size_u0) for p in e.patches)
+                 for e in encoded if e.patches)
+        y1 = max(max((p.v0 + p.size_v0) for p in e.patches)
+                 for e in encoded if e.patches)
+        prefix_seis.append(v3c.SEIVolumetricRectangleInformation(
+            rectangles=[(0, x0 * occ_res, y0 * occ_res,
+                         (x1 - x0) * occ_res, (y1 - y0) * occ_res)]
+        ))
+        atp = []
+        if float(getattr(cfg, "attributeScale", 1.0)) != 1.0 or float(
+            getattr(cfg, "attributeOffset", 0.0)
+        ) != 0.0:
+            scale_q16 = int(round(float(cfg.attributeScale) * 65536))
+            off = int(round(float(cfg.attributeOffset)))
+            atp = [(0, d, scale_q16, off) for d in range(3)]
+        if atp:
+            prefix_seis.append(v3c.SEIAttributeTransformationParams(params=atp))
+        aaps = v3c.AtlasAdaptationParameterSet()
         units.append((v3c.V3C_AD, v3c.write_atlas_substream(
-            tiles, asps, afps, prefix_seis=prefix_seis
+            tiles, asps, afps, prefix_seis=prefix_seis, aaps=aaps
         )))
 
         # frame dims per frame (padded to common size on decode)

@@ -184,3 +184,78 @@ def color_smoothing_grid(
     )
     out = jnp.where(smooth[:, None], jnp.round(my_mean), cf)
     return jnp.clip(out, 0, 255).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Color pre-smoothing (encoder-side, before the attribute video)
+
+@jax.jit
+def _presmooth_vote(col_u8, nidx, nd2, q_col, radius2, thr_dist, thr_entropy):
+    """Reference presmoothPointCloudColor inner loop
+    (PCCEncoder.cpp:6593-6656), batched: per query the neighbor color
+    centroid (integer rounding exactly as the C code), the Shannon entropy
+    of the neighbors' 8-bit luma, and the replace decision."""
+    from vpcc_tpu.ops import neighbors as nb_mod
+
+    valid = (nd2 < nb_mod.MAX_DIST2) & (nd2.astype(jnp.float32) <= radius2)
+    n = jnp.maximum(jnp.sum(valid, axis=1), 1)              # (M,)
+    cols = col_u8[nidx].astype(jnp.int32)                   # (M, k, 3)
+    vmask = valid[:, :, None]
+    csum = jnp.sum(jnp.where(vmask, cols, 0), axis=1)       # (M, 3)
+    # C: int64( sum + n/2 ) / n with integer division (values >= 0)
+    centroid = (csum + (n // 2)[:, None]) // n[:, None]
+    # luma as uint8 (C: uint8_t(0.2126 R + 0.7152 G + 0.0722 B) truncates)
+    y = (
+        0.2126 * cols[..., 0] + 0.7152 * cols[..., 1] + 0.0722 * cols[..., 2]
+    ).astype(jnp.int32)                                     # (M, k)
+    same = (y[:, :, None] == y[:, None, :]) & valid[:, None, :]  # (M, k, k)
+    cnt = jnp.sum(same, axis=2).astype(jnp.float32)         # (M, k)
+    p = cnt / n[:, None].astype(jnp.float32)
+    ent_terms = jnp.where(valid, -jnp.log2(jnp.maximum(p, 1e-12)), 0.0)
+    H = jnp.sum(ent_terms, axis=1) / n.astype(jnp.float32)
+    l1 = jnp.sum(jnp.abs(centroid - q_col.astype(jnp.int32)), axis=1)
+    replace = (
+        (jnp.sum(valid, axis=1) > 0)
+        & (l1.astype(jnp.float32) >= thr_dist)
+        & (H < thr_entropy)
+    )
+    return jnp.where(
+        replace[:, None], centroid, q_col.astype(jnp.int32)
+    ), replace
+
+
+def presmooth_colors(pos, colors, count, bnd, grid_bits: int, k: int,
+                     radius2: float, thr_dist: float, thr_entropy: float):
+    """Color pre-smoothing on the reconstructed cloud, boundary points only
+    (reference boundaryPointType == 2 gate).  pos: (B, 3) int32 padded,
+    colors: (B, 3) int32, bnd: (B,) bool.  Returns smoothed (B, 3) int32.
+
+    The k-NN sweep runs as its own dispatch (see ops/recolor
+    _compact_gather for the axon fusion miscompile this avoids)."""
+    from vpcc_tpu.core.pointcloud import shape_bucket
+    from vpcc_tpu.ops import neighbors, recolor
+
+    mask = bnd & (jnp.arange(pos.shape[0]) < count)
+    n_b = int(jnp.sum(mask))
+    if n_b == 0:
+        return colors
+    cap = shape_bucket(n_b, minimum=32768)
+    bidx, q = recolor._compact_gather(pos, mask, cap)
+    grid = neighbors.build_grid(pos, grid_bits)
+    nidx, nd2 = neighbors.knn(grid, pos, q, k=k, bucket=6)
+    q_col = colors[jnp.minimum(bidx, pos.shape[0] - 1)]
+    # chunk the vote: its (M, k, k) luma-equality tensor for the entropy
+    # term is the memory hot spot (64x64 per query)
+    chunk = 32768
+    outs = []
+    for i in range(0, cap, chunk):
+        outs.append(_presmooth_vote(
+            colors,
+            jax.lax.dynamic_slice_in_dim(nidx, i, min(chunk, cap - i)),
+            jax.lax.dynamic_slice_in_dim(nd2, i, min(chunk, cap - i)),
+            jax.lax.dynamic_slice_in_dim(q_col, i, min(chunk, cap - i)),
+            jnp.float32(radius2), jnp.float32(thr_dist),
+            jnp.float32(thr_entropy),
+        )[0])
+    sm = jnp.concatenate(outs, axis=0)
+    return colors.at[bidx].set(sm, mode="drop")

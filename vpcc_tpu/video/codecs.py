@@ -72,18 +72,25 @@ def decode_eom_plane(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # geometry / attribute substreams (stateful)
 
+_UNSET = object()  # sentinel: caller did not override the temporal ref
+
+
 class GeometrySubstreamEncoder:
     def __init__(self, cfg: VPCCConfig):
         self.cfg = cfg
         self.ref: Optional[np.ndarray] = None  # previous decoded float plane
 
     def encode(self, geo: np.ndarray, occ=None, force_intra: bool = False,
-               layer_ref=None, weight=None):
+               layer_ref=None, weight=None, temporal_ref=_UNSET,
+               qp_offset: int = 0):
         """Returns (payload, decoded uint16 plane).  `layer_ref` = decoded
         layer-0 map enables inter-layer delta coding (D1 differs from D0 in
         few pixels; reference codes D1 as a delta map when absoluteD1=0,
         PCCEncoder.cpp:4064 predictGeometryFrame).  `weight` = decoded
-        occupancy mask for point-relevance-weighted RDO."""
+        occupancy mask for point-relevance-weighted RDO.  `temporal_ref`
+        overrides the implicit previous-frame reference (hierarchical GOPs
+        pass the decoded tree-parent map; None forces intra).  `qp_offset`
+        = hierarchical-level QP cascade."""
         from vpcc_tpu.video import intra
 
         cfg = self.cfg
@@ -103,6 +110,7 @@ class GeometrySubstreamEncoder:
         from vpcc_tpu.video import hevc
 
         maxval = (1 << cfg.geometryBitDepth2D) - 1
+        t_ref = self.ref if temporal_ref is _UNSET else temporal_ref
         ref = None
         motion = False
         if layer_ref is not None and tuple(layer_ref.shape) == tuple(geo.shape):
@@ -111,14 +119,15 @@ class GeometrySubstreamEncoder:
             ref = jnp.asarray(layer_ref).astype(jnp.int32)
         elif (
             not force_intra
-            and self.ref is not None
-            and tuple(self.ref.shape) == tuple(geo.shape)
+            and t_ref is not None
+            and tuple(t_ref.shape) == tuple(geo.shape)
         ):
             # temporal P-frame: motion-compensated block matching
-            ref = self.ref
+            ref = t_ref
             motion = True
         payload, rec = hevc.encode_planes(
-            jnp.asarray(geo)[None], [cfg.geometryQP], [maxval],
+            jnp.asarray(geo)[None], [min(cfg.geometryQP + qp_offset, 51)],
+            [maxval],
             refs=None if ref is None else ref[None],
             occ=occ, deblock=False, weight=weight, motion=motion,
         )
@@ -131,7 +140,7 @@ class GeometrySubstreamDecoder:
         self.cfg = cfg
         self.ref: Optional[np.ndarray] = None
 
-    def decode(self, payload: bytes, layer_ref=None) -> np.ndarray:
+    def decode(self, payload: bytes, layer_ref=None, temporal_ref=_UNSET) -> np.ndarray:
         from vpcc_tpu.video import intra
 
         codec = payload[0]
@@ -145,11 +154,12 @@ class GeometrySubstreamDecoder:
             from vpcc_tpu.video import hevc
 
             h, w = struct.unpack("<HH", payload[1:5])
+            t_ref = self.ref if temporal_ref is _UNSET else temporal_ref
             ref = None
             if layer_ref is not None and tuple(layer_ref.shape) == (h, w):
                 ref = jnp.asarray(layer_ref).astype(jnp.int32)
-            elif self.ref is not None and tuple(self.ref.shape) == (h, w):
-                ref = self.ref
+            elif t_ref is not None and tuple(t_ref.shape) == (h, w):
+                ref = t_ref
             rec = hevc.decode_planes(
                 payload[1:], refs=None if ref is None else ref[None]
             )
@@ -166,8 +176,10 @@ class AttributeSubstreamEncoder:
         self.refs = None  # (y, cb, cr) previous decoded float planes
 
     def encode(self, attr: np.ndarray, occ=None, force_intra: bool = False,
-               layer_ref=None, weight=None):
-        """Returns (payload, decoded RGB uint8)."""
+               layer_ref=None, weight=None, temporal_ref=_UNSET,
+               qp_offset: int = 0):
+        """Returns (payload, decoded RGB uint8).  temporal_ref/qp_offset:
+        see GeometrySubstreamEncoder.encode."""
         from vpcc_tpu.video import intra
 
         cfg = self.cfg
@@ -185,6 +197,7 @@ class AttributeSubstreamEncoder:
             return payload, attr
         from vpcc_tpu.video import hevc
 
+        t_refs = self.refs if temporal_ref is _UNSET else temporal_ref
         refs = None
         motion = False
         if layer_ref is not None and tuple(layer_ref.shape[:2]) == tuple(attr.shape[:2]):
@@ -193,15 +206,15 @@ class AttributeSubstreamEncoder:
             refs = hevc.rgb_refs(layer_ref)
         elif (
             not force_intra
-            and self.refs is not None
-            and tuple(self.refs[0].shape[1:]) == tuple(attr.shape[:2])
+            and t_refs is not None
+            and tuple(t_refs[0].shape[1:]) == tuple(attr.shape[:2])
         ):
             # temporal P-frame: motion-compensated block matching
-            refs = self.refs
+            refs = t_refs
             motion = True
         payload, dec_rgb, new_refs = hevc.encode_rgb(
-            attr, qp=cfg.attributeQP, occ=occ, refs=refs, weight=weight,
-            motion=motion,
+            attr, qp=min(cfg.attributeQP + qp_offset, 51), occ=occ,
+            refs=refs, weight=weight, motion=motion,
         )
         self.refs = new_refs
         return bytes([v3c.CODEC_TPU_HEVC]) + payload, dec_rgb
@@ -212,7 +225,7 @@ class AttributeSubstreamDecoder:
         self.cfg = cfg
         self.refs = None
 
-    def decode(self, payload: bytes, layer_ref=None) -> np.ndarray:
+    def decode(self, payload: bytes, layer_ref=None, temporal_ref=_UNSET) -> np.ndarray:
         from vpcc_tpu.video import intra
 
         codec = payload[0]
@@ -225,11 +238,12 @@ class AttributeSubstreamDecoder:
             from vpcc_tpu.video import hevc
 
             h, w = hevc.peek_rgb_dims(payload[1:])
+            t_refs = self.refs if temporal_ref is _UNSET else temporal_ref
             refs = None
             if layer_ref is not None and tuple(layer_ref.shape[:2]) == (h, w):
                 refs = hevc.rgb_refs(layer_ref)
-            elif self.refs is not None and tuple(self.refs[0].shape[1:]) == (h, w):
-                refs = self.refs
+            elif t_refs is not None and tuple(t_refs[0].shape[1:]) == (h, w):
+                refs = t_refs
             dec_rgb, new_refs = hevc.decode_rgb(payload[1:], refs=refs)
             self.refs = new_refs
             return dec_rgb

@@ -195,33 +195,50 @@ def _mv_bits_np(R: int) -> np.ndarray:
 
 def _motion_search(src, ref, lam, R: int, nby: int, nbx: int):
     """src/ref: (P, Hp, Wp) int32.  lam: (P,) f32.  Returns
-    (mv (P, nb, 2) int32, mvcost (P, nb) f32 = lam * mv bits)."""
+    (mv (P, nb, 2) int32, mvcost (P, nb) f32 = lam * mv bits).
+
+    One fori_loop step per dy ROW of the window; all (2R+1) dx shifts of
+    that row are evaluated at once as a vmapped slice + one batched
+    SAD reduce — 2R+1 sequential steps instead of (2R+1)^2, which matters
+    because the loop body latency (not its FLOPs) dominates on the
+    tunneled device.  Result is bit-identical to the exhaustive scan: ties
+    break toward the smallest linear index i = dy_row * w + dx, matching
+    the previous per-candidate order."""
     P, Hp, Wp = src.shape
     nb = nby * nbx
     w = 2 * R + 1
     padr = jnp.pad(ref, ((0, 0), (R, R), (R, R)), mode="edge")
     bits1 = jnp.asarray(_mv_bits_np(R))
     srcf = src.astype(jnp.int32)
+    dxs = jnp.arange(w, dtype=jnp.int32)
 
-    def body(i, carry):
+    def body(iy, carry):
         best_cost, best_i = carry
-        dy = i // w - R
-        dx = i % w - R
-        sh = jax.lax.dynamic_slice(padr, (0, R + dy, R + dx), (P, Hp, Wp))
+        rowslab = jax.lax.dynamic_slice(padr, (0, iy, 0), (P, Hp, Wp + 2 * R))
+        sh = jax.vmap(
+            lambda dx: jax.lax.dynamic_slice(rowslab, (0, 0, dx), (P, Hp, Wp))
+        )(dxs)                                              # (w, P, Hp, Wp)
         sad = (
-            jnp.abs(srcf - sh)
-            .reshape(P, nby, CU, nbx, CU)
-            .sum((2, 4))
-            .reshape(P, nb)
+            jnp.abs(srcf[None] - sh)
+            .reshape(w, P, nby, CU, nbx, CU)
+            .sum((3, 5))
+            .reshape(w, P, nb)
             .astype(jnp.float32)
         )
-        mvb = bits1[i // w] + bits1[i % w]
-        cost = sad + lam[:, None] * mvb
-        better = cost < best_cost
-        return jnp.where(better, cost, best_cost), jnp.where(better, i, best_i)
+        cost = sad + lam[None, :, None] * (bits1[iy] + bits1[dxs])[:, None, None]
+        # first (smallest dx) minimum of this row, then merge with carry;
+        # strict < on the carry keeps the earlier row on ties
+        k = jnp.argmin(cost, axis=0)                        # (P, nb)
+        row_cost = jnp.take_along_axis(cost, k[None], axis=0)[0]
+        row_i = iy * w + k
+        better = row_cost < best_cost
+        return (
+            jnp.where(better, row_cost, best_cost),
+            jnp.where(better, row_i, best_i),
+        )
 
     init = (jnp.full((P, nb), jnp.inf, jnp.float32), jnp.zeros((P, nb), jnp.int32))
-    _, best_i = jax.lax.fori_loop(0, w * w, body, init)
+    _, best_i = jax.lax.fori_loop(0, w, body, init)
     mv = jnp.stack([best_i // w - R, best_i % w - R], -1)  # (P, nb, 2)
     mvcost = lam[:, None] * (bits1[best_i // w] + bits1[best_i % w])
     return mv, mvcost
@@ -760,20 +777,26 @@ def encode_planes(
     out += struct.pack("<HHBBBB", H, W, P, flags, ty, tx)
     for p in range(P):
         out += struct.pack("<BH", int(qps[p]), int(maxvals[p]))
-        for t in range(T):
-            i = p * T + t
-            blob = entropy.encode_hevc_plane(
-                nby, nbx, split_h[i], modes_h[i, :, 0], coeff_h[i],
-                modes_h[i], coeff_h[i].reshape(-1, 4, SUB * SUB),
+        # ONE entropy blob per plane: the plane's tiles stack vertically
+        # into a (T*nby, nbx) virtual CU grid so the adaptive contexts are
+        # SHARED across tiles (tiles exist for device-side wavefront
+        # parallelism only; per-tile context resets cost ~10% rate)
+        sl = slice(p * T, (p + 1) * T)
+        split_cat = split_h[sl].reshape(-1)
+        modes_cat = modes_h[sl].reshape(-1, 4)
+        coeff_cat = coeff_h[sl].reshape(-1, CU * CU)
+        blob = entropy.encode_hevc_plane(
+            T * nby, nbx, split_cat, modes_cat[:, 0], coeff_cat,
+            modes_cat, coeff_cat.reshape(-1, 4, SUB * SUB),
+        )
+        out += struct.pack("<I", len(blob))
+        out += blob
+        if motion:
+            mvblob = entropy.encode_mvs(
+                _inter_flags(split_cat, modes_cat), mv_h[sl].reshape(-1, 2)
             )
-            out += struct.pack("<I", len(blob))
-            out += blob
-            if motion:
-                mvblob = entropy.encode_mvs(
-                    _inter_flags(split_h[i], modes_h[i]), mv_h[i]
-                )
-                out += struct.pack("<I", len(mvblob))
-                out += mvblob
+            out += struct.pack("<I", len(mvblob))
+            out += mvblob
     return bytes(out), rec
 
 
@@ -798,30 +821,29 @@ def decode_planes(payload: bytes, refs=None) -> jax.Array:
     for p in range(P):
         qps[p], maxvals[p] = struct.unpack("<BH", payload[pos : pos + 3])
         pos += 3
-        for t in range(T):
-            i = p * T + t
-            (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        s_, m16_, c16_, m8_, c8_ = entropy.decode_hevc_plane(
+            payload[pos : pos + ln], T * nby, nbx
+        )
+        pos += ln
+        spl = s_ != 0
+        m4 = np.where(spl[:, None], m8_, np.concatenate(
+            [m16_[:, None], np.zeros((T * nb, 3), np.int32)], 1))
+        sl = slice(p * T, (p + 1) * T)
+        split[sl] = s_.astype(np.int8).reshape(T, nb)
+        modes[sl] = m4.astype(np.int8).reshape(T, nb, 4)
+        coeff[sl] = np.where(
+            spl[:, None], c8_.reshape(T * nb, CU * CU), c16_
+        ).astype(np.int16).reshape(T, nb, CU * CU)
+        if motion:
+            (mvln,) = struct.unpack("<I", payload[pos : pos + 4])
             pos += 4
-            s_, m16_, c16_, m8_, c8_ = entropy.decode_hevc_plane(
-                payload[pos : pos + ln], nby, nbx
-            )
-            pos += ln
-            spl = s_ != 0
-            split[i] = s_.astype(np.int8)
-            m4 = np.where(spl[:, None], m8_, np.concatenate(
-                [m16_[:, None], np.zeros((nb, 3), np.int32)], 1))
-            modes[i] = m4.astype(np.int8)
-            coeff[i] = np.where(
-                spl[:, None], c8_.reshape(nb, CU * CU), c16_
-            ).astype(np.int16)
-            if motion:
-                (mvln,) = struct.unpack("<I", payload[pos : pos + 4])
-                pos += 4
-                inter = _inter_flags(split[i].astype(np.int32), m4)
-                mv[i] = entropy.decode_mvs(
-                    payload[pos : pos + mvln], inter
-                ).astype(np.int8)
-                pos += mvln
+            inter = _inter_flags(s_.astype(np.int32), m4)
+            mv[sl] = entropy.decode_mvs(
+                payload[pos : pos + mvln], inter
+            ).astype(np.int8).reshape(T, nb, 2)
+            pos += mvln
     if flags & FLAG_INTER:
         refs_a = jnp.asarray(refs)
     else:
