@@ -39,3 +39,14 @@ def test_graft_entry_compiles():
     part, split, modes, coeffs, rec, cnt, nn = out
     assert part.shape == (1, args[0].shape[1])
     assert int(np.asarray(cnt).sum()) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_gof_level_parallel_three_way_bit_exact():
+    """Production GOF pipeline sharded over the frames mesh (parallel/gof):
+    hierarchical levels, wavefront video with parent decoded refs,
+    reconstruction, full recolor — N-device == 1-device == per-frame
+    production, asserted inside run_gof_dryrun."""
+    from vpcc_tpu.parallel.gof import run_gof_dryrun
+
+    run_gof_dryrun(4, bits=7, n_samples=60_000, verbose=False)

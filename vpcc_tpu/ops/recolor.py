@@ -160,19 +160,22 @@ def _fwd_blend(src_col_u8, idx, d2, gd2_fwd, cd2_fwd, doff_fwd):
 
 
 @jax.jit
-def _bwd_and_merge(src_col_u8, tgt_cap_arr, uidx, uvalid, tidx, td2,
+def _bwd_and_merge(src_col_u8, src_valid, tgt_cap_arr, tidx, td2,
                    exact_idx, has_exact, iidx, fwd_cols, gd2_bwd):
-    """Backward splat from the COMPACTED unmatched sources (a matched
-    source's nearest target is its exact twin, which keeps the exact color
-    verbatim — its splat is provably ignored, so skipping it is bit-exact),
-    then the final merge: exact / fwd / 0.5*(fwd+bwd).  The nearest-target
-    sweep (tidx, td2) runs standalone outside this jit (see
-    `_compact_gather` for why)."""
-    ns = src_col_u8.shape[0]
+    """Backward splat from ALL valid sources (matching `_blend` exactly —
+    a matched source's nearest target is USUALLY its exact twin, but the
+    bounded candidate window can truncate the twin away on dense clouds,
+    so skipping matched sources is NOT bit-exact; found via the multichip
+    parity harness, round 4), then the final merge: exact / fwd /
+    0.5*(fwd+bwd).  The nearest-target sweep (tidx, td2) runs standalone
+    outside this jit (see `_compact_gather` for why)."""
     nt = tgt_cap_arr.shape[0]
-    safe_u = jnp.minimum(uidx, ns - 1)
-    svalid = (td2 < neighbors.MAX_DIST2) & (td2.astype(jnp.float32) <= gd2_bwd) & uvalid
-    ucols = src_col_u8[safe_u].astype(jnp.float32)
+    svalid = (
+        (td2 < neighbors.MAX_DIST2)
+        & (td2.astype(jnp.float32) <= gd2_bwd)
+        & src_valid
+    )
+    ucols = src_col_u8.astype(jnp.float32)
     acc = jnp.zeros((nt, 3), jnp.float32).at[tidx].add(ucols * svalid[:, None])
     cnt = jnp.zeros((nt,), jnp.float32).at[tidx].add(svalid.astype(jnp.float32))
     bwd = acc / jnp.maximum(cnt, 1.0)[:, None]
@@ -226,13 +229,11 @@ def transfer_colors_compact(
         jnp.float32(max_color_d2_fwd), jnp.float32(dist_offset_fwd),
     )
     if k_bwd > 0:
-        ucap = shape_bucket(n_un)
-        uidx, us_pos = _compact_gather(src_pos, unmatched, ucap)
         grid_t = neighbors.build_grid(tgt_pos, grid_bits)
-        tidx, td2 = neighbors.nearest(grid_t, tgt_pos, us_pos, bucket=6)
+        tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=6)
         return (
             _bwd_and_merge(
-                src_col_u8, tgt_pos, uidx, uidx < src_pos.shape[0], tidx, td2,
+                src_col_u8, src_valid, tgt_pos, tidx, td2,
                 exact_idx, has_exact, iidx, fwd_cols,
                 jnp.float32(max_geom_d2_bwd),
             ),

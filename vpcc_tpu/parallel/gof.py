@@ -1,0 +1,403 @@
+"""Level-parallel multi-chip GOF encoding over a `jax.sharding.Mesh`.
+
+The production coding structure (encoder.Encoder.gof_structure) is a dyadic
+hierarchy: frames at the same tree level are independent given their
+parents' DECODED maps.  That independence is the multi-chip axis: each
+level's frames batch on the video codec's PLANE axis (the wavefront scan is
+already vectorized over it) and shard over the mesh's "frames" axis; parent
+decoded maps are gathered from the previous level's outputs — when a parent
+lives on another chip, XLA inserts the ICI collective from the shardings
+(the scaling-book recipe: annotate, don't hand-code collectives).
+
+Host stages (patch generation, packing, entropy coding, mux) stay per-frame
+on the host and overlap with device work; the device programs here are the
+same builders production uses (`hevc._build_encode`, `pipeline` phases,
+`ops.recolor` pieces), so mesh results are BIT-EXACT vs the single-chip
+production path — asserted by `tests/test_parallel.py` and the driver's
+`dryrun_multichip`.
+
+Reference axis map: SURVEY §2.4 — the reference's TBB frame loops
+(PCCEncoder.cpp:344-350) are the CPU analogue of this frame-data
+parallelism; its HM RA hierarchy (cfg/hm/ctc-hm-geometry-ra.cfg) is the
+coding structure that makes it legal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vpcc_tpu.ops import neighbors, recolor
+from vpcc_tpu.video import hevc
+
+
+def level_schedule(parent: List[int]) -> List[List[int]]:
+    """Group frames into dependency levels: every frame appears after its
+    parent's level; frames inside one level are independent."""
+    n = len(parent)
+    level = [0] * n
+    for f in range(1, n):
+        level[f] = level[parent[f]] + 1
+    out: List[List[int]] = [[] for _ in range(max(level) + 1)]
+    for f in range(n):
+        out[level[f]].append(f)
+    return out
+
+
+def _frame_sharding(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P("frames"))
+
+
+def encode_level_geo(
+    geo_b: jax.Array,        # (B, H, W) rasterized D0 maps of one level
+    occ_b: jax.Array,        # (B, H, W) occupancy (for background fill)
+    weight_b: jax.Array,     # (B, H, W) decoded-occupancy RDO weights
+    refs_b: Optional[jax.Array],  # (B, H, W) parent DECODED maps (None=intra)
+    qps,                     # (B,) int
+    maxval: int,
+    mesh: Optional[Mesh] = None,
+    motion: Optional[bool] = None,  # default: MC iff refs present
+):
+    """One level's geometry maps through the production wavefront builder,
+    frames batched on the plane axis and sharded over the mesh.  Returns
+    (split, modes, coeffs, rec, mvs) exactly as `hevc._build_encode` —
+    identical arrays to B sequential single-frame production calls."""
+    B, H, W = geo_b.shape
+    has_ref = refs_b is not None
+    if motion is None:
+        motion = has_ref
+    Hp, Wp = -(-H // hevc.CU) * hevc.CU, -(-W // hevc.CU) * hevc.CU
+    ty, tx = hevc._tile_grid(Hp, Wp)
+    fn = hevc._build_encode(B, H, W, False, True, True, motion, ty, tx)
+    refs_a = refs_b if has_ref else jnp.zeros((B, H, W), jnp.int32)
+    qps_a = jnp.asarray(np.asarray(qps, np.int32))
+    mv_a = jnp.full((B,), maxval, jnp.int32)
+    args = (
+        geo_b.astype(jnp.int32), qps_a, refs_a.astype(jnp.int32),
+        jnp.asarray(bool(has_ref)), mv_a, occ_b, weight_b,
+    )
+    if mesh is not None:
+        sh = _frame_sharding(mesh)
+        rep = NamedSharding(mesh, P())
+        args = (
+            jax.device_put(args[0], sh), jax.device_put(args[1], sh),
+            jax.device_put(args[2], sh), jax.device_put(args[3], rep),
+            jax.device_put(args[4], sh), jax.device_put(args[5], sh),
+            jax.device_put(args[6], sh),
+        )
+    return fn(*args)
+
+
+# ---------------------------------------------------------------------------
+# recolor, level-batched.  The k-NN sweeps stay their own dispatches (same
+# boundary as production ops/recolor — see _compact_gather there for the
+# axon fusion miscompile this avoids); each dispatch is vmapped over the
+# level's frames and sharded over the mesh.
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _exact_batch(src_pos_b, src_cnt_b, tgt_pos_b, tgt_cnt_b, bits: int):
+    def one(sp, sc, tp, tc):
+        sv = jnp.arange(sp.shape[0]) < sc
+        return recolor.exact_matches_device(sp, sv, tp, bits)
+    return jax.vmap(one)(src_pos_b, src_cnt_b, tgt_pos_b, tgt_cnt_b)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bits"))
+def _knn_fwd_batch(src_pos_b, tgt_pos_b, k: int, bits: int):
+    def one(sp, tp):
+        grid = neighbors.build_grid(sp, bits)
+        return neighbors.knn(grid, sp, tp, k=k, bucket=6)
+    return jax.vmap(one)(src_pos_b, tgt_pos_b)
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _nearest_bwd_batch(tgt_pos_b, src_pos_b, bits: int):
+    def one(tp, sp):
+        grid = neighbors.build_grid(tp, bits)
+        return neighbors.nearest(grid, tp, sp, bucket=6)
+    return jax.vmap(one)(tgt_pos_b, src_pos_b)
+
+
+@jax.jit
+def _blend_batch(src_pos_b, src_col_b, src_cnt_b, tgt_pos_b, exact_idx_b,
+                 has_exact_b, idx_b, d2_b, tidx_b, td2_b, gates):
+    gd2_fwd, gd2_bwd, cd2_fwd, doff_fwd = gates
+
+    def one(sp, sc, scnt, tp, ei, he, idx, d2, tidx, td2):
+        return recolor._blend(
+            sp, sc, scnt, tp, ei, he, idx, d2, tidx, td2,
+            gd2_fwd, gd2_bwd, cd2_fwd, doff_fwd,
+        )
+    return jax.vmap(one)(
+        src_pos_b, src_col_b, src_cnt_b, tgt_pos_b, exact_idx_b, has_exact_b,
+        idx_b, d2_b, tidx_b, td2_b,
+    )
+
+
+def recolor_level(
+    src_pos_b, src_col_b, src_cnt_b,   # (B, Ns, 3/3/,) source clouds
+    tgt_pos_b, tgt_cnt_b,              # (B, Nt, 3/,) reconstructed clouds
+    bits: int,
+    k: int = 8,
+    gates: Tuple[float, float, float, float] = (1000.0, 1000.0, 1000.0, 4.0),
+    mesh: Optional[Mesh] = None,
+):
+    """Level-batched attribute transfer: bit-identical per frame to the
+    production `transfer_colors` / `transfer_colors_compact` (which are
+    bit-identical to each other), with every sweep sharded over the mesh."""
+    if mesh is not None:
+        sh3 = _frame_sharding(mesh)
+        put = lambda a: jax.device_put(jnp.asarray(a), sh3)
+        src_pos_b, src_col_b, src_cnt_b = map(put, (src_pos_b, src_col_b, src_cnt_b))
+        tgt_pos_b, tgt_cnt_b = map(put, (tgt_pos_b, tgt_cnt_b))
+    exact_idx_b, has_exact_b = _exact_batch(
+        src_pos_b, src_cnt_b, tgt_pos_b, tgt_cnt_b, bits
+    )
+    idx_b, d2_b = _knn_fwd_batch(src_pos_b, tgt_pos_b, k, bits)
+    tidx_b, td2_b = _nearest_bwd_batch(tgt_pos_b, src_pos_b, bits)
+    g = tuple(jnp.float32(x) for x in gates)
+    return _blend_batch(
+        src_pos_b, src_col_b, src_cnt_b, tgt_pos_b, exact_idx_b, has_exact_b,
+        idx_b, d2_b, tidx_b, td2_b, g,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def _recon_batch(occ_b, g0_b, g1_b, btp_b, pt_b, res: int):
+    """Level-batched reconstruction phase 1 (production
+    pipeline._recon_phase1 vmapped over the level's frames)."""
+    from vpcc_tpu import pipeline
+
+    def one(o, g0, g1, bt, pt):
+        pts, valid, pix, pid, bnd, cnt = pipeline._recon_phase1(
+            o, g0, g1, bt, pt, res
+        )
+        return pts, valid, cnt
+
+    return jax.vmap(one)(occ_b, g0_b, g1_b, btp_b, pt_b)
+
+
+def run_gof_dryrun(n_devices: int, bits: int = 9, n_samples: int = 800_000,
+                   verbose: bool = True) -> None:
+    """The driver's multi-chip validation: production host pipeline at CTC
+    shape, then the hierarchical-GOP level schedule through the sharded
+    device programs, asserting per stage that
+      N-device mesh == 1-device mesh == per-frame production calls."""
+    from vpcc_tpu.core import atlas as atlas_mod, packing
+    from vpcc_tpu.core.pointcloud import from_host, shape_bucket
+    from vpcc_tpu.encoder import Encoder
+    from vpcc_tpu.parallel.mesh import make_mesh
+    from vpcc_tpu.utils.config import VPCCConfig
+    from vpcc_tpu.utils.synthetic import make_person_cloud
+    from vpcc_tpu.video import codecs
+
+    n = n_devices
+    cfg = VPCCConfig()
+    cfg.geometry3dCoordinatesBitdepth = bits
+    cfg.resolution = (1 << bits) - 1
+    cfg.iterationCountRefineSegmentation = 2
+    cfg.geometryQP = 28
+    cfg.minimumImageWidth = min(1280, 4 << bits)
+    cfg.minimumImageHeight = min(1280, 4 << bits)
+    enc = Encoder(cfg)
+    pcs = [
+        make_person_cloud(bits=bits, n_samples=n_samples, seed=20 + i)
+        for i in range(n)
+    ]
+    assert all(pc.point_count >= min(n_samples // 8, 100_000) for pc in pcs)
+    parent, qp_off = enc.gof_structure(n)
+
+    # --- production host stages per frame (temporally matched to parent)
+    frames, patches_list, occ_recs = [], [], []
+    for i, pc in enumerate(pcs):
+        partition, dev_graph, _ = enc.segment(pc)
+        patches, _ = enc.generate_patches(pc, partition, dev_graph)
+        if i > 0 and cfg.constrainedPack:
+            packing.match_patches(patches, patches_list[parent[i]])
+        w, h = packing.pack_flexible(
+            patches, cfg, preset_height=getattr(enc, "_height_hint", 0)
+        )
+        enc._height_hint = max(getattr(enc, "_height_hint", 0), h)
+        f = atlas_mod.rasterize_frame(patches, w, h, cfg)
+        occ_payload = codecs.encode_occupancy(
+            atlas_mod.downsample_occupancy(f.occupancy, cfg.occupancyPrecision),
+            cfg,
+        )
+        occ_recs.append(atlas_mod.upsample_occupancy(
+            codecs.decode_occupancy(occ_payload, cfg), cfg.occupancyPrecision
+        ))
+        frames.append(f)
+        patches_list.append(patches)
+
+    hmax = max(f.height for f in frames)
+    wmax = max(f.width for f in frames)
+    pmax = max((len(p) + 63) // 64 * 64 for p in patches_list)
+    res = cfg.occupancyResolution
+
+    def padmap(a, fill=0):
+        out = np.full((hmax, wmax), fill, np.asarray(a).dtype)
+        out[: a.shape[0], : a.shape[1]] = a
+        return out
+
+    geo0 = np.stack([padmap(np.asarray(f.geometry0)) for f in frames]).astype(np.int32)
+    geo1 = np.stack([padmap(np.asarray(f.geometry1)) for f in frames]).astype(np.int32)
+    occ = np.stack([padmap(np.asarray(f.occupancy)) for f in frames]).astype(np.int32)
+    wt = np.stack([padmap(np.asarray(o)) for o in occ_recs]).astype(np.int32)
+    btp = np.stack([
+        _pad_btp(np.asarray(f.block_to_patch), hmax // res, wmax // res)
+        for f in frames
+    ])
+    ptab = np.stack([
+        atlas_mod.patch_table(p, capacity=pmax) for p in patches_list
+    ])
+    maxval = (1 << cfg.geometryBitDepth2D) - 1
+    qps_all = [cfg.geometryQP + min(q, 1) for q in qp_off]
+
+    mesh_n = make_mesh(n)
+    levels = level_schedule(parent)
+    banks = {"n": {}, "1": {}, "p": {}}
+    rec1_banks = {"n": {}, "1": {}, "p": {}}
+    for lv, fr in enumerate(levels):
+        B = len(fr)
+        g_b = jnp.asarray(geo0[fr])
+        o_b = jnp.asarray(occ[fr])
+        w_b = jnp.asarray(wt[fr])
+        qps = [qps_all[f] for f in fr]
+        outs = {}
+        # "1" (single-device mesh) only at small scale: N-vs-production is
+        # the stronger claim and the driver dryrun has a wall-clock budget
+        keys = ("n", "1", "p") if geo0.shape[-1] <= 512 else ("n", "p")
+        for key in keys:
+            refs_b = (
+                None if lv == 0
+                else jnp.asarray(np.stack([banks[key][parent[f]] for f in fr]))
+            )
+            if key == "p":
+                # per-frame production calls (P=1), exactly what
+                # encoder.encode_frame dispatches via encode_planes
+                per = [
+                    encode_level_geo(
+                        g_b[i][None], o_b[i][None], w_b[i][None],
+                        None if refs_b is None else refs_b[i][None],
+                        [qps[i]], maxval, mesh=None,
+                    )
+                    for i in range(B)
+                ]
+                outs[key] = tuple(
+                    jnp.concatenate([p[j] for p in per], axis=0)
+                    for j in range(5)
+                )
+            else:
+                m = mesh_n if key == "n" and B % n == 0 else (
+                    make_mesh(min(B, n)) if key == "n" else None
+                )
+                if key == "n" and m is None:
+                    m = make_mesh(min(B, n))
+                outs[key] = encode_level_geo(
+                    g_b, o_b, w_b, refs_b, qps, maxval, mesh=m,
+                )
+        names = ("split", "modes", "coeffs", "rec", "mvs")
+        if "1" in outs:
+            for nm, a, b in zip(names, outs["n"], outs["1"]):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"level {lv} {nm}: N-device vs 1-device diverged",
+                )
+        for nm, a, b in zip(names, outs["n"], outs["p"]):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"level {lv} {nm}: mesh vs production diverged",
+            )
+        for key in keys:
+            rec_h = np.asarray(outs[key][3])
+            for i, f in enumerate(fr):
+                banks[key][f] = rec_h[i]
+        # layer 1 (D1 from decoded D0, zero-MV inter) — production's
+        # inter-layer path, batched the same way
+        g1_b = jnp.asarray(geo1[fr])
+        for key in keys:
+            refs1 = jnp.asarray(np.stack([banks[key][f] for f in fr]))
+            out1 = encode_level_geo(
+                g1_b, o_b, w_b, refs1, qps, maxval,
+                mesh=(make_mesh(min(B, n)) if key == "n" else None),
+                motion=False,
+            )
+            rec1_h = np.asarray(out1[3])
+            for i, f in enumerate(fr):
+                rec1_banks[key][f] = rec1_h[i]
+
+    # --- reconstruction (level-irrelevant; batch everything) sharded
+    all_f = list(range(n))
+    g0d = jnp.asarray(np.stack([banks["n"][f] for f in all_f]))
+    g1d = jnp.asarray(np.stack([rec1_banks["n"][f] for f in all_f]))
+    occ_rec_b = jnp.asarray(wt)
+    sh = _frame_sharding(mesh_n)
+    args = tuple(
+        jax.device_put(a, sh)
+        for a in (occ_rec_b, g0d, g1d, jnp.asarray(btp), jnp.asarray(ptab))
+    )
+    pts_b, valid_b, cnt_b = _recon_batch(*args, res=res)
+    pts_1, valid_1, cnt_1 = _recon_batch(
+        occ_rec_b, g0d, g1d, jnp.asarray(btp), jnp.asarray(ptab), res=res
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_b), np.asarray(cnt_1))
+    np.testing.assert_array_equal(np.asarray(pts_b), np.asarray(pts_1))
+
+    # --- recolor: compact targets to a common bucket, then the sharded
+    # level-batched sweeps vs the production per-frame compact path
+    counts = [int(c) for c in np.asarray(cnt_b)]
+    tcap = shape_bucket(max(counts))
+    tgt = np.full((n, tcap, 3), -(1 << 20), np.int32)
+    for i in range(n):
+        p = np.asarray(pts_b[i]).reshape(-1, 3)
+        v = np.asarray(valid_b[i]).reshape(-1)
+        rows = p[v]
+        tgt[i, : len(rows)] = rows
+    scap = shape_bucket(max(pc.point_count for pc in pcs))
+    sp = np.full((n, scap, 3), -(1 << 20), np.int32)
+    scol = np.zeros((n, scap, 3), np.int32)
+    scnt = np.zeros((n,), np.int32)
+    for i, pc in enumerate(pcs):
+        sp[i, : pc.point_count] = pc.positions
+        scol[i, : pc.point_count] = pc.colors
+        scnt[i] = pc.point_count
+    cols_mesh = np.asarray(recolor_level(
+        sp, scol, scnt, tgt, np.asarray(counts, np.int32), bits,
+        mesh=mesh_n,
+    ))
+    cols_1 = np.asarray(recolor_level(
+        sp, scol, scnt, tgt, np.asarray(counts, np.int32), bits, mesh=None,
+    ))
+    np.testing.assert_array_equal(cols_mesh, cols_1)
+    for i in range(n):
+        prod, _ = recolor.transfer_colors_compact(
+            jnp.asarray(sp[i]), jnp.asarray(scol[i]), jnp.asarray(scnt[i]),
+            jnp.asarray(tgt[i]), jnp.asarray(counts[i]), grid_bits=bits,
+        )
+        np.testing.assert_array_equal(
+            cols_mesh[i][: counts[i]], np.asarray(prod)[: counts[i]],
+            err_msg=f"recolor frame {i}: mesh vs production diverged",
+        )
+
+    if verbose:
+        print(
+            f"dryrun_multichip ok: {n} devices; production GOF pipeline "
+            f"({[pc.point_count for pc in pcs]} pts/frame, hierarchical "
+            f"levels {[len(l) for l in levels]}) — wavefront video with "
+            f"parent decoded refs, reconstruction, and full recolor sweeps "
+            f"sharded over the frames mesh; N == 1-device == per-frame "
+            f"production, all bit-exact; recon points {counts}"
+        )
+
+
+def _pad_btp(a: np.ndarray, hb: int, wb: int) -> np.ndarray:
+    out = np.zeros((hb, wb), np.int32)
+    out[: a.shape[0], : a.shape[1]] = a
+    return out

@@ -445,7 +445,12 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
         # tunneled device has ~30ms per eager op, so eager pad/astype chains
         # cost more than the whole wavefront)
         if has_occ:
-            planes = jax.vmap(lambda p: _round_int_plane(p, occ))(planes)
+            # occ is (H, W) shared by all planes, or (P, H, W) per plane
+            # (the level-batched mesh path stacks FRAMES on the plane axis)
+            if occ.ndim == 3:
+                planes = jax.vmap(_round_int_plane)(planes, occ)
+            else:
+                planes = jax.vmap(lambda p: _round_int_plane(p, occ))(planes)
         else:
             planes = planes.astype(jnp.int32)
         pad2 = lambda x, mode: jnp.pad(
@@ -454,7 +459,10 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
         planes = pad2(planes, "edge")
         refs = pad2(refs.astype(jnp.int32), "edge")
         if has_weight:
-            weights = jnp.broadcast_to((weight != 0)[None], (P, H, W))
+            if weight.ndim == 3:
+                weights = (weight != 0)
+            else:
+                weights = jnp.broadcast_to((weight != 0)[None], (P, H, W))
             weights = pad2(weights.astype(jnp.int32), "constant")
         else:
             weights = jnp.ones((P, Hp, Wp), jnp.int32)
