@@ -44,3 +44,4 @@ for s in enc.stats:
           f"pack={s.packing_s:.2f} video={s.video_s:.2f} "
           f"recolor={s.recolor_s:.2f} recon={s.reconstruct_s:.2f} "
           f"total={s.total_s:.2f}", flush=True)
+print("substream bytes:", getattr(enc, "last_stream_stats", {}))

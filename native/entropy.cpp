@@ -272,19 +272,23 @@ int64_t vpcc_decode_binary_plane(const uint8_t* data, int64_t size,
 namespace {
 
 inline int band16(int i) { return band(i >> 2); }
+inline int band32(int i) { return band(i >> 4); }
 
 struct HevcContexts {
   uint16_t split[3];
+  uint16_t split32c[3];
   uint16_t mpm0 = kHalf, mpm1 = kHalf, esc = kHalf;
-  uint16_t cbf8[3], cbf16[3];
-  uint16_t last8[6], last16[8];
-  uint16_t sig8[10], sig16[10];
+  uint16_t cbf8[3], cbf16[3], cbf32[3];
+  uint16_t last8[6], last16[8], last32[10];
+  uint16_t sig8[10], sig16[10], sig32[10];
   uint16_t gt1[2], gt2[2];
   HevcContexts() {
-    for (int i = 0; i < 3; i++) split[i] = cbf8[i] = cbf16[i] = kHalf;
+    for (int i = 0; i < 3; i++)
+      split[i] = split32c[i] = cbf8[i] = cbf16[i] = cbf32[i] = kHalf;
     for (int i = 0; i < 6; i++) last8[i] = kHalf;
     for (int i = 0; i < 8; i++) last16[i] = kHalf;
-    for (int i = 0; i < 10; i++) sig8[i] = sig16[i] = kHalf;
+    for (int i = 0; i < 10; i++) last32[i] = kHalf;
+    for (int i = 0; i < 10; i++) sig8[i] = sig16[i] = sig32[i] = kHalf;
     for (int i = 0; i < 2; i++) gt1[i] = gt2[i] = kHalf;
   }
 };
@@ -352,20 +356,34 @@ struct BlockCoder {
     return mode;
   }
 
-  // size16: selects the 256-coeff syntax; fills cells [cy..cy+span) x [cx..)
+  // n in {8, 16, 32} selects the coeff syntax; fills the covered 8-px cells
+  void params(int n, int& ncoef, int& nlast, int& span, uint16_t*& lastc,
+              uint16_t*& sigc, uint16_t*& cbfc) {
+    if (n == 32) {
+      ncoef = 1024; nlast = 10; span = 4;
+      lastc = ctx.last32; sigc = ctx.sig32; cbfc = ctx.cbf32;
+    } else if (n == 16) {
+      ncoef = 256; nlast = 8; span = 2;
+      lastc = ctx.last16; sigc = ctx.sig16; cbfc = ctx.cbf16;
+    } else {
+      ncoef = 64; nlast = 6; span = 1;
+      lastc = ctx.last8; sigc = ctx.sig8; cbfc = ctx.cbf8;
+    }
+  }
+  static int sig_band(int n, int i) {
+    return n == 32 ? band32(i) : (n == 16 ? band16(i) : band(i));
+  }
+
   void encode_block(Encoder& enc, int64_t cy, int64_t cx, int mode,
-                    const int32_t* c, bool size16) {
+                    const int32_t* c, int n) {
     encode_mode(enc, cy, cx, mode);
-    const int ncoef = size16 ? 256 : 64;
-    const int nlast = size16 ? 8 : 6;
-    uint16_t* lastc = size16 ? ctx.last16 : ctx.last8;
-    uint16_t* sigc = size16 ? ctx.sig16 : ctx.sig8;
-    uint16_t* cbfc = size16 ? ctx.cbf16 : ctx.cbf8;
+    int ncoef, nlast, span;
+    uint16_t *lastc, *sigc, *cbfc;
+    params(n, ncoef, nlast, span, lastc, sigc, cbfc);
     int last = -1;
     for (int i = 0; i < ncoef; i++)
       if (c[i] != 0) last = i;
     enc.bit(last >= 0, &cbfc[grid.cbf_ctx(cy, cx)]);
-    const int span = size16 ? 2 : 1;
     for (int dy = 0; dy < span; dy++)
       for (int dx = 0; dx < span; dx++) {
         grid.mode[(size_t)((cy + dy) * grid.w + cx + dx)] = mode;
@@ -376,7 +394,7 @@ struct BlockCoder {
     int nsig = 0;
     for (int i = 0; i <= last; i++) {
       int s = (c[i] != 0);
-      if (i < last) enc.bit(s, &sigc[size16 ? band16(i) : band(i)]);
+      if (i < last) enc.bit(s, &sigc[sig_band(n, i)]);
       if (!s) continue;
       uint32_t mag = (uint32_t)(c[i] < 0 ? -(int64_t)c[i] : c[i]);
       const int gctx = (nsig == 0) ? 0 : 1;
@@ -390,16 +408,12 @@ struct BlockCoder {
     }
   }
 
-  int decode_block(Decoder& dec, int64_t cy, int64_t cx, int32_t* c,
-                   bool size16) {
+  int decode_block(Decoder& dec, int64_t cy, int64_t cx, int32_t* c, int n) {
     const int mode = decode_mode(dec, cy, cx);
-    const int ncoef = size16 ? 256 : 64;
-    const int nlast = size16 ? 8 : 6;
-    uint16_t* lastc = size16 ? ctx.last16 : ctx.last8;
-    uint16_t* sigc = size16 ? ctx.sig16 : ctx.sig8;
-    uint16_t* cbfc = size16 ? ctx.cbf16 : ctx.cbf8;
+    int ncoef, nlast, span;
+    uint16_t *lastc, *sigc, *cbfc;
+    params(n, ncoef, nlast, span, lastc, sigc, cbfc);
     const int has = dec.bit(&cbfc[grid.cbf_ctx(cy, cx)]);
-    const int span = size16 ? 2 : 1;
     for (int dy = 0; dy < span; dy++)
       for (int dx = 0; dx < span; dx++) {
         grid.mode[(size_t)((cy + dy) * grid.w + cx + dx)] = mode;
@@ -411,7 +425,7 @@ struct BlockCoder {
     for (int k = nlast - 1; k >= 0; k--) last |= dec.bit(&lastc[k]) << k;
     int nsig = 0;
     for (int i = 0; i <= last; i++) {
-      int s = (i == last) ? 1 : dec.bit(&sigc[size16 ? band16(i) : band(i)]);
+      int s = (i == last) ? 1 : dec.bit(&sigc[sig_band(n, i)]);
       if (!s) continue;
       const int gctx = (nsig == 0) ? 0 : 1;
       nsig++;
@@ -451,13 +465,13 @@ int64_t vpcc_hevc_encode(const int32_t* split, const int32_t* m16,
       split_grid[bi] = (uint8_t)spl;
       if (!spl) {
         bc.encode_block(enc, 2 * by, 2 * bx, (int)m16[bi], c16 + bi * 256,
-                        true);
+                        16);
       } else {
         for (int s = 0; s < 4; s++) {
           const int64_t cy = 2 * by + kZOrder[s][0];
           const int64_t cx = 2 * bx + kZOrder[s][1];
           bc.encode_block(enc, cy, cx, (int)m8[bi * 4 + s],
-                          c8 + (bi * 4 + s) * 64, false);
+                          c8 + (bi * 4 + s) * 64, 8);
         }
       }
     }
@@ -519,6 +533,116 @@ int64_t vpcc_mv_decode(const uint8_t* data, int64_t size, const int32_t* inter,
   return 0;
 }
 
+// Three-level CU syntax (32/16/8): per 32x32 CU a split32 flag; unsplit CUs
+// carry one 1024-coeff block; split CUs carry four 16x16 quadrants in
+// z-order, each with the two-level syntax above.  Array layout (per 32-CU):
+// split32 (nb32,), m32 (nb32,), c32 (nb32,1024), split16 (nb32,4),
+// m16 (nb32,4), c16 (nb32,4,256), m8 (nb32,4,4), c8 (nb32,4,4,64).
+int64_t vpcc_hevc32_encode(const int32_t* split32, const int32_t* m32,
+                           const int32_t* c32, const int32_t* split16,
+                           const int32_t* m16, const int32_t* c16,
+                           const int32_t* m8, const int32_t* c8,
+                           int64_t nby, int64_t nbx, uint8_t* out,
+                           int64_t capacity) {
+  Encoder enc;
+  const int64_t nb = nby * nbx;
+  enc.out.reserve((size_t)nb * 16);
+  HevcContexts ctx;
+  CellGrid grid(4 * nby, 4 * nbx);
+  std::vector<uint8_t> s32_grid((size_t)nb, 0);
+  std::vector<uint8_t> s16_grid((size_t)nb * 4, 0);
+  BlockCoder bc(ctx, grid);
+  for (int64_t by = 0; by < nby; by++) {
+    for (int64_t bx = 0; bx < nbx; bx++) {
+      const int64_t bi = by * nbx + bx;
+      const int spl32 = split32[bi] != 0;
+      const int sl = bx > 0 ? s32_grid[bi - 1] : 0;
+      const int su = by > 0 ? s32_grid[bi - nbx] : 0;
+      enc.bit(spl32, &ctx.split32c[sl + su]);
+      s32_grid[bi] = (uint8_t)spl32;
+      if (!spl32) {
+        bc.encode_block(enc, 4 * by, 4 * bx, (int)m32[bi], c32 + bi * 1024, 32);
+        continue;
+      }
+      for (int q = 0; q < 4; q++) {
+        const int64_t cy = 4 * by + 2 * kZOrder[q][0];
+        const int64_t cx = 4 * bx + 2 * kZOrder[q][1];
+        const int64_t qi = bi * 4 + q;
+        const int spl16 = split16[qi] != 0;
+        enc.bit(spl16, &ctx.split[0]);  // flat context inside a split 32-CU
+        s16_grid[qi] = (uint8_t)spl16;
+        if (!spl16) {
+          bc.encode_block(enc, cy, cx, (int)m16[qi], c16 + qi * 256, 16);
+        } else {
+          for (int s = 0; s < 4; s++) {
+            const int64_t y8 = cy + kZOrder[s][0];
+            const int64_t x8 = cx + kZOrder[s][1];
+            bc.encode_block(enc, y8, x8, (int)m8[qi * 4 + s],
+                            c8 + (qi * 4 + s) * 64, 8);
+          }
+        }
+      }
+    }
+  }
+  enc.flush();
+  if ((int64_t)enc.out.size() > capacity) return -1;
+  std::memcpy(out, enc.out.data(), enc.out.size());
+  return (int64_t)enc.out.size();
+}
+
+int64_t vpcc_hevc32_decode(const uint8_t* data, int64_t size, int32_t* split32,
+                           int32_t* m32, int32_t* c32, int32_t* split16,
+                           int32_t* m16, int32_t* c16, int32_t* m8,
+                           int32_t* c8, int64_t nby, int64_t nbx) {
+  Decoder dec;
+  dec.init(data, (size_t)size);
+  const int64_t nb = nby * nbx;
+  HevcContexts ctx;
+  CellGrid grid(4 * nby, 4 * nbx);
+  std::vector<uint8_t> s32_grid((size_t)nb, 0);
+  BlockCoder bc(ctx, grid);
+  std::memset(split32, 0, (size_t)nb * sizeof(int32_t));
+  std::memset(m32, 0, (size_t)nb * sizeof(int32_t));
+  std::memset(c32, 0, (size_t)nb * 1024 * sizeof(int32_t));
+  std::memset(split16, 0, (size_t)nb * 4 * sizeof(int32_t));
+  std::memset(m16, 0, (size_t)nb * 4 * sizeof(int32_t));
+  std::memset(c16, 0, (size_t)nb * 4 * 256 * sizeof(int32_t));
+  std::memset(m8, 0, (size_t)nb * 16 * sizeof(int32_t));
+  std::memset(c8, 0, (size_t)nb * 16 * 64 * sizeof(int32_t));
+  for (int64_t by = 0; by < nby; by++) {
+    for (int64_t bx = 0; bx < nbx; bx++) {
+      const int64_t bi = by * nbx + bx;
+      const int sl = bx > 0 ? s32_grid[bi - 1] : 0;
+      const int su = by > 0 ? s32_grid[bi - nbx] : 0;
+      const int spl32 = dec.bit(&ctx.split32c[sl + su]);
+      s32_grid[bi] = (uint8_t)spl32;
+      split32[bi] = spl32;
+      if (!spl32) {
+        m32[bi] = bc.decode_block(dec, 4 * by, 4 * bx, c32 + bi * 1024, 32);
+        continue;
+      }
+      for (int q = 0; q < 4; q++) {
+        const int64_t cy = 4 * by + 2 * kZOrder[q][0];
+        const int64_t cx = 4 * bx + 2 * kZOrder[q][1];
+        const int64_t qi = bi * 4 + q;
+        const int spl16 = dec.bit(&ctx.split[0]);
+        split16[qi] = spl16;
+        if (!spl16) {
+          m16[qi] = bc.decode_block(dec, cy, cx, c16 + qi * 256, 16);
+        } else {
+          for (int s = 0; s < 4; s++) {
+            const int64_t y8 = cy + kZOrder[s][0];
+            const int64_t x8 = cx + kZOrder[s][1];
+            m8[qi * 4 + s] =
+                bc.decode_block(dec, y8, x8, c8 + (qi * 4 + s) * 64, 8);
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 int64_t vpcc_hevc_decode(const uint8_t* data, int64_t size, int32_t* split,
                          int32_t* m16, int32_t* c16, int32_t* m8, int32_t* c8,
                          int64_t nby, int64_t nbx) {
@@ -542,13 +666,13 @@ int64_t vpcc_hevc_decode(const uint8_t* data, int64_t size, int32_t* split,
       split_grid[bi] = (uint8_t)spl;
       split[bi] = spl;
       if (!spl) {
-        m16[bi] = bc.decode_block(dec, 2 * by, 2 * bx, c16 + bi * 256, true);
+        m16[bi] = bc.decode_block(dec, 2 * by, 2 * bx, c16 + bi * 256, 16);
       } else {
         for (int s = 0; s < 4; s++) {
           const int64_t cy = 2 * by + kZOrder[s][0];
           const int64_t cx = 2 * bx + kZOrder[s][1];
           m8[bi * 4 + s] =
-              bc.decode_block(dec, cy, cx, c8 + (bi * 4 + s) * 64, false);
+              bc.decode_block(dec, cy, cx, c8 + (bi * 4 + s) * 64, 8);
         }
       }
     }

@@ -176,3 +176,25 @@ def test_tiled_plane_parity():
     pm, rm = hevc.encode_planes(img2[None], [30], [255], refs=rec, motion=True)
     decm = np.asarray(hevc.decode_planes(pm, refs=rec))
     np.testing.assert_array_equal(np.asarray(rm), decm)
+
+
+def test_cu32_beats_two_level_on_smooth():
+    """The three-level (32/16/8) quadtree must dominate the two-level coder
+    on smooth content (geometry-map-like), and round-trip bit-exactly."""
+    yy, xx = np.mgrid[0:192, 0:192]
+    smooth = np.clip(
+        120 + 40 * np.sin(yy / 90) + 30 * np.cos(xx / 110), 0, 255
+    ).astype(np.int32)
+    p32, r32 = hevc.encode_planes([smooth], [28], [255])
+    dec = np.asarray(hevc.decode_planes(p32))
+    np.testing.assert_array_equal(np.asarray(r32), dec)
+    old = hevc.ENABLE_CU32
+    try:
+        hevc.ENABLE_CU32 = False
+        p16, r16 = hevc.encode_planes([smooth], [28], [255])
+    finally:
+        hevc.ENABLE_CU32 = old
+    m32 = ((np.asarray(r32)[0] - smooth) ** 2).mean()
+    m16 = ((np.asarray(r16)[0] - smooth) ** 2).mean()
+    assert len(p32) < len(p16)
+    assert m32 <= m16 * 1.1

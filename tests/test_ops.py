@@ -226,3 +226,34 @@ def test_color_presmoothing_matches_reference_semantics():
     np.testing.assert_array_equal(sm, exp)
     # sanity: at least one boundary outlier was actually smoothed
     assert (sm != col).any()
+
+
+def test_padding_modes_and_group_dilation():
+    """attributeBGFill modes (0 dilate / 1 push-pull / 2 harmonic) keep
+    occupied pixels verbatim; harmonic fill is (near-)Laplace-flat in the
+    background; group dilation equalizes both maps' backgrounds with the
+    reference's (d0+d1+1)>>1 rounding."""
+    import jax.numpy as jnp
+
+    from vpcc_tpu.ops import padding
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64)).astype(np.float32)
+    occ = rng.random((64, 64)) < 0.3
+    laps = {}
+    for mode in (0, 1, 2):
+        out = np.asarray(padding.fill_plane(jnp.asarray(img), jnp.asarray(occ), mode))
+        assert np.array_equal(out[occ], img[occ]), mode
+        lap = np.abs(4 * out[1:-1, 1:-1] - out[:-2, 1:-1] - out[2:, 1:-1]
+                     - out[1:-1, :-2] - out[1:-1, 2:])
+        laps[mode] = lap[~occ[1:-1, 1:-1]].mean()
+    assert laps[2] < laps[1] * 0.2  # harmonic is much flatter
+
+    a = rng.integers(0, 256, (32, 32, 3))
+    b = rng.integers(0, 256, (32, 32, 3))
+    occ2 = rng.random((32, 32)) < 0.5
+    ga, gb = padding.group_dilate(jnp.asarray(a), jnp.asarray(b), jnp.asarray(occ2))
+    ga, gb = np.asarray(ga), np.asarray(gb)
+    assert np.array_equal(ga[occ2], a[occ2]) and np.array_equal(gb[occ2], b[occ2])
+    assert np.array_equal(ga[~occ2], gb[~occ2])
+    assert np.array_equal(ga[~occ2], (a[~occ2] + b[~occ2] + 1) >> 1)

@@ -540,13 +540,25 @@ class Encoder:
         attr_payloads = []
         attr_dec = []
         occ_dev = jnp.asarray(frame.occupancy)
+        # background fill per attributeBGFill (reference dispatch
+        # PCCEncoder.cpp:342-420: 0 dilate / 1 smoothed push-pull /
+        # 2 harmonic), then group dilation equalizes both maps' backgrounds
+        # (PCCEncoder.cpp:380-402) so the T1-from-T0 delta vanishes there
+        from vpcc_tpu.ops import padding as padding_mod
+
+        bgmode = int(cfg.attributeBGFill)
+        img0 = padding_mod.fill_rgb(img0, occ_dev, bgmode)
+        if not plr_on:
+            img1 = padding_mod.fill_rgb(img1, occ_dev, bgmode)
+            if cfg.groupDilation:
+                img0, img1 = padding_mod.group_dilate(img0, img1, occ_dev)
         attr_layers = ((0, img0),) if plr_on else ((0, img0), (1, img1))
         for ly, img in attr_layers:
             kw = {}
             if temporal_refs is not None and not attr_dec:
                 kw["temporal_ref"] = temporal_refs.get("attr")
             payload, dec = streams[f"attr{ly}"].encode(
-                img, occ=occ_dev,
+                img, occ=None,  # pre-filled above
                 layer_ref=attr_dec[0] if attr_dec else None,
                 weight=occ_rec,
                 qp_offset=qp_offset, **kw,

@@ -128,6 +128,7 @@ class VPCCConfig:
 
     # --- padding / dilation ---
     groupDilation: int = 1
+    attributeBGFill: int = 1  # 0 dilate / 1 smoothed push-pull / 2 harmonic
     geometryPadding: int = 0
 
     # --- smoothing ---

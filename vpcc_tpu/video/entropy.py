@@ -62,6 +62,18 @@ def _load():
             p32, p32, p32, p32, p32,
             ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.vpcc_hevc32_encode.restype = ctypes.c_int64
+        lib.vpcc_hevc32_encode.argtypes = [
+            p32, p32, p32, p32, p32, p32, p32, p32,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib.vpcc_hevc32_decode.restype = ctypes.c_int64
+        lib.vpcc_hevc32_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            p32, p32, p32, p32, p32, p32, p32, p32,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.vpcc_mv_encode.restype = ctypes.c_int64
         lib.vpcc_mv_encode.argtypes = [
             p32, p32, ctypes.c_int64,
@@ -200,3 +212,43 @@ def decode_binary_plane(data: bytes, h: int, w: int) -> np.ndarray:
     out = np.zeros((h, w), np.uint8)
     lib.vpcc_decode_binary_plane(_u8p(buf), len(buf), _u8p(out), h, w)
     return out
+
+
+def encode_hevc32_plane(nby, nbx, split32, m32, c32, split16, m16, c16,
+                        m8, c8) -> bytes:
+    """Three-level (32/16/8) CU syntax over an (nby, nbx) 32-CU grid:
+    split32 (nb,), m32 (nb,), c32 (nb, 1024) zigzag, split16 (nb, 4),
+    m16 (nb, 4), c16 (nb, 4, 256), m8 (nb, 4, 4), c8 (nb, 4, 4, 64)."""
+    lib = _load()
+    arrs = [np.ascontiguousarray(a, np.int32)
+            for a in (split32, m32, c32, split16, m16, c16, m8, c8)]
+    cap = max(nby * nbx * 2560, 1 << 16)
+    for _ in range(6):
+        out = np.empty(cap, np.uint8)
+        n = lib.vpcc_hevc32_encode(
+            *[_i32p(a) for a in arrs], nby, nbx, _u8p(out), cap,
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+        cap *= 2
+    raise RuntimeError("entropy buffer overflow")
+
+
+def decode_hevc32_plane(data: bytes, nby: int, nbx: int):
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    nb = nby * nbx
+    split32 = np.zeros(nb, np.int32)
+    m32 = np.zeros(nb, np.int32)
+    c32 = np.zeros((nb, 1024), np.int32)
+    split16 = np.zeros((nb, 4), np.int32)
+    m16 = np.zeros((nb, 4), np.int32)
+    c16 = np.zeros((nb, 4, 256), np.int32)
+    m8 = np.zeros((nb, 4, 4), np.int32)
+    c8 = np.zeros((nb, 4, 4, 64), np.int32)
+    lib.vpcc_hevc32_decode(
+        _u8p(buf), len(buf), _i32p(split32), _i32p(m32), _i32p(c32),
+        _i32p(split16), _i32p(m16), _i32p(c16), _i32p(m8), _i32p(c8),
+        nby, nbx,
+    )
+    return split32, m32, c32, split16, m16, c16, m8, c8

@@ -56,10 +56,11 @@ from vpcc_tpu.ops import padding
 from vpcc_tpu.video import entropy
 from vpcc_tpu.video import hevc_tables as tab
 
-CU = 16                      # top CU size
+CU = 16                      # mid CU size
 SUB = 8                      # split block size
 SUB_OFF = ((0, 0), (0, 8), (8, 0), (8, 8))  # z-order
 MV_RANGE = 8                 # integer-pel motion search window (+-R)
+ENABLE_CU32 = True           # three-level (32/16/8) quadtree (A/B toggle)
 
 _MODE_BITS = np.full(tab.N_MODES, 5.0, np.float32)
 _MODE_BITS[0] = _MODE_BITS[1] = 3.0   # planar/DC: usually MPM-coded
@@ -83,6 +84,11 @@ class _SizeConsts:
         self.s1 = 11
         self.s2 = total - self.s1
         self.zz = jnp.asarray(tab.zigzag(n))
+        # scan position per raster coefficient (the last-significant
+        # position drives the entropy coder's significance-scan cost)
+        self.zzpos = jnp.asarray(
+            np.argsort(tab.zigzag(n)).astype(np.float32).reshape(n, n)
+        )
 
 
 def _predict_all(refs, ref_blocks, C: _SizeConsts):
@@ -130,6 +136,14 @@ def _rd_choose(src_v, allp, wblk, qstep, inv_q, lam, inter_pen, mode_bits, C):
     bits = jnp.sum(
         jnp.where(lv > 0, 3.0 + 2.0 * jnp.log2(1.0 + lv), 0.0), (-2, -1)
     )
+    # significance-scan cost: the coder codes one sig flag per position up
+    # to the last nonzero (in zigzag order); without this term the RDO
+    # systematically over-picks large blocks whose few coefficients sit
+    # deep in the 1024-position scan
+    last = jnp.max(
+        jnp.where(lv > 0, C.zzpos[None, None, None], -1.0), (-2, -1)
+    )
+    bits = bits + 0.12 * (last + 1.0)
     cost = wblk[:, :, None] * dist + lam[:, None, None] * (
         bits + mode_bits[None, None, :]
     )
@@ -193,9 +207,9 @@ def _mv_bits_np(R: int) -> np.ndarray:
     return np.where(v == 0, 1.0, 3.0 + 2.0 * np.floor(np.log2(np.maximum(a, 1)))).astype(np.float32)
 
 
-def _motion_search(src, ref, lam, R: int, nby: int, nbx: int):
-    """src/ref: (P, Hp, Wp) int32.  lam: (P,) f32.  Returns
-    (mv (P, nb, 2) int32, mvcost (P, nb) f32 = lam * mv bits).
+def _motion_search(src, ref, lam, R: int, nby: int, nbx: int, bs: int = CU):
+    """src/ref: (P, Hp, Wp) int32.  lam: (P,) f32.  bs: CU size (16 or 32).
+    Returns (mv (P, nb, 2) int32, mvcost (P, nb) f32 = lam * mv bits).
 
     One fori_loop step per dy ROW of the window; all (2R+1) dx shifts of
     that row are evaluated at once as a vmapped slice + one batched
@@ -220,7 +234,7 @@ def _motion_search(src, ref, lam, R: int, nby: int, nbx: int):
         )(dxs)                                              # (w, P, Hp, Wp)
         sad = (
             jnp.abs(srcf[None] - sh)
-            .reshape(w, P, nby, CU, nbx, CU)
+            .reshape(w, P, nby, bs, nbx, bs)
             .sum((3, 5))
             .reshape(w, P, nb)
             .astype(jnp.float32)
@@ -244,14 +258,14 @@ def _motion_search(src, ref, lam, R: int, nby: int, nbx: int):
     return mv, mvcost
 
 
-def _apply_motion(ref, mv, R: int, nby: int, nbx: int):
+def _apply_motion(ref, mv, R: int, nby: int, nbx: int, bs: int = CU):
     """Build the MC prediction plane: per-pixel gather of the reference at
     each CU's MV.  Deterministic and shared by encoder and decoder."""
     P, Hp, Wp = ref.shape
     padr = jnp.pad(ref, ((0, 0), (R, R), (R, R)), mode="edge")
     yy = jnp.arange(Hp, dtype=jnp.int32)[:, None]
     xx = jnp.arange(Wp, dtype=jnp.int32)[None, :]
-    bi = (yy // CU) * nbx + (xx // CU)            # (Hp, Wp)
+    bi = (yy // bs) * nbx + (xx // bs)            # (Hp, Wp)
     dy = mv[:, :, 0][:, bi]                        # (P, Hp, Wp)
     dx = mv[:, :, 1][:, bi]
     iy = jnp.clip(yy[None] + R + dy, 0, Hp + 2 * R - 1)
@@ -268,21 +282,23 @@ def _apply_motion(ref, mv, R: int, nby: int, nbx: int):
 # masked lanes.
 
 CC = CU * CU
+CU32 = 32
+CC32 = CU32 * CU32
 
 
-def _to_blocks(x):
+def _to_blocks(x, bs: int = CU):
     P, H, W = x.shape
     return (
-        x.reshape(P, H // CU, CU, W // CU, CU)
+        x.reshape(P, H // bs, bs, W // bs, bs)
         .transpose(0, 1, 3, 2, 4)
-        .reshape(P, (H // CU) * (W // CU), CC)
+        .reshape(P, (H // bs) * (W // bs), bs * bs)
     )
 
 
-def _from_blocks(b, H, W):
+def _from_blocks(b, H, W, bs: int = CU):
     P = b.shape[0]
     return (
-        b.reshape(P, H // CU, W // CU, CU, CU)
+        b.reshape(P, H // bs, W // bs, bs, bs)
         .transpose(0, 1, 3, 2, 4)
         .reshape(P, H, W)
     )
@@ -357,6 +373,75 @@ def _quadrant(tile_rows, s):
     )
 
 
+# ---------------------------------------------------------------------------
+# Three-level (32/16/8) quadtree: the 32x32 wavefront reuses the full
+# 16-level machinery per quadrant, with pseudo neighbor 16-tiles derived
+# from the in-flight 32-tile and the 32-neighbors (z-order causality).
+
+QOFF32 = ((0, 0), (0, 16), (16, 0), (16, 16))  # 16-quadrants of a 32-CU
+
+
+def _refs32(up, upleft, upright, left, initc):
+    """(P, B, 129) reference vector for 32x32 prediction from neighbor
+    32-tiles (P, B, 32, 32); bottom-left refs read the init value."""
+    corner = upleft[:, :, 31, 31:32]
+    top = jnp.concatenate([up[:, :, 31, :], upright[:, :, 31, :]], -1)
+    lcol = jnp.concatenate(
+        [left[:, :, :, 31], jnp.broadcast_to(initc, left.shape[:2] + (32,))],
+        -1,
+    )
+    return jnp.concatenate([corner, top, lcol], -1)
+
+
+def _quad_tiles16(q, cur32, up32, upleft32, upright32, left32, initc):
+    """Pseudo neighbor 16-tiles (up, upleft, upright, left) for quadrant q
+    of a 32-CU, from the in-flight `cur32` (P, B, 32, 32) and the 32-CU
+    neighbors.  Availability mirrors HEVC z-order: quadrant 3's up-right
+    16-block is uncoded -> init tile."""
+    ib = jnp.broadcast_to(initc[:, :, :, None], cur32.shape[:2] + (CU, CU))
+    sl = lambda t, y, x: t[:, :, y : y + CU, x : x + CU]
+    if q == 0:
+        return (sl(up32, 16, 0), sl(upleft32, 16, 16), sl(up32, 16, 16),
+                sl(left32, 0, 16))
+    if q == 1:
+        return (sl(up32, 16, 16), sl(up32, 16, 0), sl(upright32, 16, 0),
+                sl(cur32, 0, 0))
+    if q == 2:
+        return (sl(cur32, 0, 0), sl(left32, 0, 16), sl(cur32, 0, 16),
+                sl(left32, 16, 16))
+    return (sl(cur32, 0, 16), sl(cur32, 0, 0), ib, sl(cur32, 16, 0))
+
+
+def _quadrant32(rows1024, q):
+    """(P, B, 1024) 32-CU rows -> (P, B, 256) 16-quadrant q in raster."""
+    dy, dx = QOFF32[q]
+    t = rows1024.reshape(rows1024.shape[:2] + (CU32, CU32))
+    return t[:, :, dy : dy + CU, dx : dx + CU].reshape(
+        rows1024.shape[:2] + (CC,)
+    )
+
+
+def _block_weights32(weights, nby, nbx):
+    """Per-32-CU, per-16-quadrant, and per-8-sub distortion weights
+    (fraction of point-generating pixels, floored), padded with the init
+    and dump rows."""
+    wb = _to_blocks(weights.astype(jnp.float32), CU32)    # (P, nb, 1024)
+    P, nb, _ = wb.shape
+    w32 = jnp.maximum(wb.mean(-1), 0.04)
+    t = wb.reshape(P, nb, 2, CU, 2, CU)
+    w16 = jnp.maximum(t.mean((3, 5)).reshape(P, nb, 4), 0.04)
+    t8 = wb.reshape(P, nb, 2, 2, SUB, 2, 2, SUB)
+    # (zy, sy, zx, sx): quadrant (zy, zx), sub (sy, sx) in z-order index
+    w8 = jnp.maximum(
+        t8.mean((4, 7)).transpose(0, 1, 2, 4, 3, 5).reshape(P, nb, 4, 4),
+        0.04,
+    )
+    pad = lambda a: jnp.concatenate(
+        [a, jnp.ones((P, 2) + a.shape[2:], a.dtype)], axis=1
+    )
+    return pad(w32), pad(w16), pad(w8)
+
+
 def _block_weights(weights, nby, nbx):
     """Precompute per-CU and per-sub-block RD distortion weights
     (fraction of point-generating pixels, floored) outside the scan."""
@@ -379,7 +464,7 @@ def _pad_rows(x, fill):
     return jnp.concatenate([x, extra], axis=1)
 
 
-def _tile_grid(H: int, W: int, min_side: int = 256):
+def _tile_grid(H: int, W: int, min_side: int = 256, cu: int = CU):
     """(ty, tx) codec-tile split for an (H, W) plane: the largest power-of-2
     split keeping every tile >= min_side on each axis and CU-aligned.
 
@@ -390,7 +475,7 @@ def _tile_grid(H: int, W: int, min_side: int = 256):
     so encoder and decoder stay bit-exact per tile."""
     def split(n):
         t = 1
-        while t < 8 and n % (2 * t * CU) == 0 and n // (2 * t) >= min_side:
+        while t < 8 and n % (2 * t * cu) == 0 and n // (2 * t) >= min_side:
             t *= 2
         return t
 
@@ -415,6 +500,52 @@ def _untile(x, P, ty, tx):
         x.reshape(P, ty, tx, ht, wt)
         .transpose(0, 1, 3, 2, 4)
         .reshape(P, ty * ht, tx * wt)
+    )
+
+
+def _code_cu16(src16, ref16, up, upleft, upright, left, initc, w16, w8,
+               mvc, qstep, inv_q, lam, inter_pen, mode_bits, dq, maxvals,
+               C16, C8):
+    """Code a batch of 16x16 CUs: the 16x16 candidate vs the four-8x8
+    z-order split, given the neighbor 16-tiles (P, B, 16, 16).  Shared by
+    the two-level (16/8) and three-level (32/16/8) builders.  Returns
+    (tile (P,B,256), split bool (P,B), m16 (P,B), m8v (P,B,4),
+    lev16zz (P,B,256), c8cat (P,B,256), best_cost (P,B))."""
+    refs16 = _refs16(up, upleft, upright, left, initc)
+    allp16 = _predict_all(refs16, ref16, C16)
+    m16, lev16, pred16, cost16 = _rd_choose(
+        src16, allp16, w16, qstep, inv_q, lam, inter_pen + mvc, mode_bits, C16
+    )
+    cur = jnp.broadcast_to(
+        initc[:, :, :, None], src16.shape[:2] + (CU, CU)
+    ).astype(jnp.int32)
+    cost_split = jnp.broadcast_to(lam[:, None], cost16.shape) * 1.0
+    m8s, c8s = [], []
+    for s, (dy, dx) in enumerate(SUB_OFF):
+        refs8 = _refs8(s, cur, up, upleft, upright, left, initc)
+        allp8 = _predict_all(refs8, _quadrant(ref16, s), C8)
+        m8, lev8, pred8, cost8 = _rd_choose(
+            _quadrant(src16, s), allp8, w8[:, :, s], qstep, inv_q,
+            lam, inter_pen + 0.25 * mvc, mode_bits, C8,
+        )
+        rec8 = _int_recon(lev8, pred8, dq, maxvals, C8)
+        cur = cur.at[:, :, dy : dy + SUB, dx : dx + SUB].set(
+            rec8.reshape(rec8.shape[:2] + (SUB, SUB))
+        )
+        cost_split = cost_split + cost8
+        m8s.append(m8)
+        c8s.append(lev8[:, :, C8.zz])
+
+    split = cost_split < cost16
+    rec16 = _int_recon(lev16, pred16, dq, maxvals, C16)
+    tile = jnp.where(
+        split[:, :, None], cur.reshape(cur.shape[:2] + (CC,)), rec16
+    )
+    m8v = jnp.stack(m8s, -1)
+    c8cat = jnp.concatenate(c8s, -1)
+    return (
+        tile, split, m16, m8v, lev16[:, :, C16.zz], c8cat,
+        jnp.minimum(cost16, cost_split),
     )
 
 
@@ -515,54 +646,21 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
             w8 = gather(w8_all, bidx)                          # (P,B,4)
             mvc = gather(mvc_all, bidx)                        # (P,B)
 
-            # ---- 16x16 candidate
-            refs16 = _refs16(up, upleft, upright, left, initc)
-            allp16 = _predict_all(refs16, ref16, C16)
-            m16, lev16, pred16, cost16 = _rd_choose(
-                src16, allp16, w16, qstep, inv_q, lam,
-                inter_pen + mvc, mode_bits, C16
-            )
-
-            # ---- four 8x8 sub-blocks in z-order, entirely in registers
-            cur = jnp.broadcast_to(
-                initc[:, :, :, None], src16.shape[:2] + (CU, CU)
-            ).astype(jnp.int32)
-            cost_split = jnp.broadcast_to(lam[:, None], cost16.shape) * 1.0
-            m8s, c8s = [], []
-            for s, (dy, dx) in enumerate(SUB_OFF):
-                refs8 = _refs8(s, cur, up, upleft, upright, left, initc)
-                allp8 = _predict_all(refs8, _quadrant(ref16, s), C8)
-                m8, lev8, pred8, cost8 = _rd_choose(
-                    _quadrant(src16, s), allp8, w8[:, :, s], qstep, inv_q,
-                    lam, inter_pen + 0.25 * mvc, mode_bits, C8,
-                )
-                rec8 = _int_recon(lev8, pred8, dq, maxvals, C8)
-                cur = cur.at[:, :, dy : dy + SUB, dx : dx + SUB].set(
-                    rec8.reshape(rec8.shape[:2] + (SUB, SUB))
-                )
-                cost_split = cost_split + cost8
-                m8s.append(m8)
-                c8s.append(lev8[:, :, C8.zz])
-
-            # ---- decision + single row scatter
-            split = cost_split < cost16
-            rec16 = _int_recon(lev16, pred16, dq, maxvals, C16)
-            tile = jnp.where(
-                split[:, :, None], cur.reshape(cur.shape[:2] + (CC,)), rec16
+            tile, split, m16, m8v, lev16zz, c8cat, _cost = _code_cu16(
+                src16, ref16, up, upleft, upright, left, initc, w16, w8,
+                mvc, qstep, inv_q, lam, inter_pen, mode_bits, dq, maxvals,
+                C16, C8,
             )
             blk = blk.at[:, bidx].set(tile)
             split_out = split_out.at[:, bidx].set(split.astype(jnp.int8))
-            m8v = jnp.stack(m8s, -1)                          # (P, B, 4)
             m16v = jnp.concatenate(
                 [m16[:, :, None], jnp.zeros(m16.shape + (3,), m16.dtype)], -1
             )
             modes_out = modes_out.at[:, bidx].set(
                 jnp.where(split[:, :, None], m8v, m16v).astype(jnp.int8)
             )
-            c8cat = jnp.concatenate(c8s, -1)                  # (P, B, 256)
             coeff_out = coeff_out.at[:, bidx].set(
-                jnp.where(split[:, :, None], c8cat, lev16[:, :, C16.zz])
-                .astype(jnp.int16)
+                jnp.where(split[:, :, None], c8cat, lev16zz).astype(jnp.int16)
             )
             return (blk, split_out, modes_out, coeff_out), None
 
@@ -581,6 +679,333 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
             split_out[:, :nb], modes_out[:, :nb], coeff_out[:, :nb],
             rec[:, :H, :W], mv.astype(jnp.int8),
         )
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_encode32(P: int, H: int, W: int, deblock: bool,
+                    has_occ: bool, has_weight: bool, motion: bool = False,
+                    ty: int = 1, tx: int = 1):
+    """Three-level (32/16/8) wavefront encoder: the scan runs over 32x32
+    CUs; each step evaluates the whole-32 candidate against the four
+    16-quadrants coded with the full two-level machinery (_code_cu16)."""
+    with jax.ensure_compile_time_eval():
+        Hp = -(-H // CU32) * CU32
+        Wp = -(-W // CU32) * CU32
+        assert Hp % ty == 0 and Wp % tx == 0, (Hp, Wp, ty, tx)
+        Ht, Wt = Hp // ty, Wp // tx
+        PT = P * ty * tx
+        nby, nbx = Ht // CU32, Wt // CU32
+        nb = nby * nbx
+        bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
+        C32 = _SizeConsts(CU32)
+        C16 = _SizeConsts(CU)
+        C8 = _SizeConsts(SUB)
+        dq_tab = jnp.asarray(tab.DQ64)
+        lam_tab = jnp.asarray(tab.LAMBDA)
+        mode_bits = jnp.asarray(_MODE_BITS)
+
+    def run(planes, qps, refs, has_ref, maxvals, occ, weight):
+        if has_occ:
+            if occ.ndim == 3:
+                planes = jax.vmap(_round_int_plane)(planes, occ)
+            else:
+                planes = jax.vmap(lambda p: _round_int_plane(p, occ))(planes)
+        else:
+            planes = planes.astype(jnp.int32)
+        pad2 = lambda x, mode: jnp.pad(
+            x, ((0, 0), (0, Hp - H), (0, Wp - W)), mode=mode
+        ) if (Hp, Wp) != (H, W) else x
+        planes = pad2(planes, "edge")
+        refs = pad2(refs.astype(jnp.int32), "edge")
+        if has_weight:
+            if weight.ndim == 3:
+                weights = (weight != 0)
+            else:
+                weights = jnp.broadcast_to((weight != 0)[None], (P, H, W))
+            weights = pad2(weights.astype(jnp.int32), "constant")
+        else:
+            weights = jnp.ones((P, Hp, Wp), jnp.int32)
+        planes = _tiles_of(planes, ty, tx)
+        refs = _tiles_of(refs, ty, tx)
+        weights = _tiles_of(weights, ty, tx)
+        rep = lambda a: jnp.repeat(a, ty * tx, axis=0)
+        qps, maxvals = rep(qps), rep(maxvals)
+        initv = ((maxvals + 1) // 2).astype(jnp.int32)
+        initc = initv[:, None, None]
+        src_blk = _pad_rows(_to_blocks(planes, CU32), initc)
+        dq = dq_tab[jnp.clip(qps, 0, 51)]
+        qstep = dq.astype(jnp.float32) / 64.0
+        inv_q = 1.0 / qstep
+        lam = lam_tab[jnp.clip(qps, 0, 51)]
+        inter_pen = jnp.where(has_ref, 0.0, jnp.float32(1e30))
+        if motion:
+            mv, mvcost = _motion_search(
+                planes, refs, lam, MV_RANGE, nby, nbx, CU32
+            )
+            refs = _apply_motion(refs, mv, MV_RANGE, nby, nbx, CU32)
+        else:
+            mv = jnp.zeros((PT, nb, 2), jnp.int32)
+            mvcost = jnp.zeros((PT, nb), jnp.float32)
+        mvc_all = jnp.concatenate(
+            [mvcost, jnp.zeros((PT, 2), jnp.float32)], axis=1
+        )
+        ref_blk = _pad_rows(_to_blocks(refs, CU32), initc)
+        w32_all, w16_all, w8_all = _block_weights32(weights, nby, nbx)
+        blk = jnp.broadcast_to(initc, (PT, nb + 2, CC32)).astype(jnp.int32)
+
+        s32_out = jnp.zeros((PT, nb + 2), jnp.int8)
+        m32_out = jnp.zeros((PT, nb + 2), jnp.int8)
+        c32_out = jnp.zeros((PT, nb + 2, CC32), jnp.int16)
+        s16_out = jnp.zeros((PT, nb + 2, 4), jnp.int8)
+        m_out = jnp.zeros((PT, nb + 2, 4, 4), jnp.int8)
+        c16_out = jnp.zeros((PT, nb + 2, 4, CC), jnp.int16)
+
+        def body(carry, xs):
+            blk, s32_out, m32_out, c32_out, s16_out, m_out, c16_out = carry
+            bidx, nbr = xs
+            gather = lambda buf, ids: jnp.take(buf, ids, axis=1)
+            tile4 = lambda t: t.reshape(t.shape[:2] + (CU32, CU32))
+            up = tile4(gather(blk, nbr[:, 0]))
+            upleft = tile4(gather(blk, nbr[:, 1]))
+            upright = tile4(gather(blk, nbr[:, 2]))
+            left = tile4(gather(blk, nbr[:, 3]))
+            src32 = gather(src_blk, bidx)                     # (P,B,1024)
+            ref32 = gather(ref_blk, bidx)
+            w32 = gather(w32_all, bidx)
+            w16q = gather(w16_all, bidx)                       # (P,B,4)
+            w8q = gather(w8_all, bidx)                         # (P,B,4,4)
+            mvc = gather(mvc_all, bidx)                        # (P,B)
+
+            # ---- whole-32 candidate
+            refs32v = _refs32(up, upleft, upright, left, initc)
+            allp32 = _predict_all(refs32v, ref32, C32)
+            m32, lev32, pred32, cost32 = _rd_choose(
+                src32, allp32, w32, qstep, inv_q, lam,
+                inter_pen + mvc, mode_bits, C32
+            )
+
+            # ---- four 16-quadrants, each through the 16/8 machinery
+            cur32 = jnp.broadcast_to(
+                initc[:, :, :, None], src32.shape[:2] + (CU32, CU32)
+            ).astype(jnp.int32)
+            cost_split = jnp.broadcast_to(lam[:, None], cost32.shape) * 1.0
+            s16s, m16s, m8s, cq_s = [], [], [], []
+            for q, (dy, dx) in enumerate(QOFF32):
+                up16, upleft16, upright16, left16 = _quad_tiles16(
+                    q, cur32, up, upleft, upright, left, initc
+                )
+                tile_q, split_q, m16_q, m8v_q, lev16zz_q, c8cat_q, cost_q = (
+                    _code_cu16(
+                        _quadrant32(src32, q), _quadrant32(ref32, q),
+                        up16, upleft16, upright16, left16, initc,
+                        w16q[:, :, q], w8q[:, :, q], 0.25 * mvc,
+                        qstep, inv_q, lam, inter_pen, mode_bits, dq,
+                        maxvals, C16, C8,
+                    )
+                )
+                cur32 = cur32.at[:, :, dy : dy + CU, dx : dx + CU].set(
+                    tile_q.reshape(tile_q.shape[:2] + (CU, CU))
+                )
+                cost_split = cost_split + cost_q + lam[:, None]  # split16 bit
+                s16s.append(split_q)
+                m16s.append(m16_q)
+                m8s.append(m8v_q)
+                cq_s.append(jnp.where(
+                    split_q[:, :, None], c8cat_q, lev16zz_q
+                ))
+
+            split32 = cost_split < cost32
+            rec32 = _int_recon(lev32, pred32, dq, maxvals, C32)
+            tile = jnp.where(
+                split32[:, :, None],
+                cur32.reshape(cur32.shape[:2] + (CC32,)), rec32,
+            )
+            blk = blk.at[:, bidx].set(tile)
+            s32_out = s32_out.at[:, bidx].set(split32.astype(jnp.int8))
+            m32_out = m32_out.at[:, bidx].set(m32.astype(jnp.int8))
+            c32_out = c32_out.at[:, bidx].set(
+                lev32[:, :, C32.zz].astype(jnp.int16)
+            )
+            s16_out = s16_out.at[:, bidx].set(
+                jnp.stack(s16s, -1).astype(jnp.int8)
+            )
+            # modes per quadrant: [m16, 0, 0, 0] if unsplit else the 4 m8
+            m16v = jnp.stack(m16s, -1)[:, :, :, None]          # (P,B,4,1)
+            m16v = jnp.concatenate(
+                [m16v, jnp.zeros(m16v.shape[:3] + (3,), m16v.dtype)], -1
+            )
+            m8v = jnp.stack(m8s, -2)                           # (P,B,4,4)
+            s16v = jnp.stack(s16s, -1)[:, :, :, None]
+            m_out = m_out.at[:, bidx].set(
+                jnp.where(s16v, m8v, m16v).astype(jnp.int8)
+            )
+            c16_out = c16_out.at[:, bidx].set(
+                jnp.stack(cq_s, -2).astype(jnp.int16)          # (P,B,4,256)
+            )
+            return (blk, s32_out, m32_out, c32_out, s16_out, m_out,
+                    c16_out), None
+
+        xs = (jnp.asarray(bidx_tab), jnp.asarray(nbr_tab))
+        carry = (blk, s32_out, m32_out, c32_out, s16_out, m_out, c16_out)
+        (blk, s32_out, m32_out, c32_out, s16_out, m_out, c16_out), _ = (
+            jax.lax.scan(body, carry, xs)
+        )
+        rec = _from_blocks(blk[:, :nb], Ht, Wt, CU32)
+        if deblock:
+            rec = _deblock(rec, qps, maxvals)
+        rec = _untile(rec, P, ty, tx)
+        return (
+            s32_out[:, :nb], m32_out[:, :nb], c32_out[:, :nb],
+            s16_out[:, :nb], m_out[:, :nb], c16_out[:, :nb],
+            rec[:, :H, :W], mv.astype(jnp.int8),
+        )
+
+    return jax.jit(run)
+
+
+def _decode_cu16(ref16, up, upleft, upright, left, initc, spl, mode16,
+                 lev16, m8b, c8b, dq, maxvals, C16, C8):
+    """Decode a batch of 16x16 CUs from their syntax (lev16/c8b already
+    inverse-zigzagged).  The unused branch reconstructs garbage and is
+    masked by the split select, exactly as on the encoder side.  Shared by
+    the two-level and three-level decoders.  Returns tile (P, B, 256)."""
+    refs16 = _refs16(up, upleft, upright, left, initc)
+    allp16 = _predict_all(refs16, ref16, C16)
+    pred16 = jnp.take_along_axis(
+        allp16, mode16[:, :, None, None], axis=2
+    )[:, :, 0]
+    rec16 = _int_recon(lev16, pred16, dq, maxvals, C16)
+
+    cur = jnp.broadcast_to(
+        initc[:, :, :, None], ref16.shape[:2] + (CU, CU)
+    ).astype(jnp.int32)
+    for s, (dy, dx) in enumerate(SUB_OFF):
+        refs8 = _refs8(s, cur, up, upleft, upright, left, initc)
+        allp8 = _predict_all(refs8, _quadrant(ref16, s), C8)
+        pred8 = jnp.take_along_axis(
+            allp8, m8b[:, :, s][:, :, None, None], axis=2
+        )[:, :, 0]
+        rec8 = _int_recon(c8b[:, :, s], pred8, dq, maxvals, C8)
+        cur = cur.at[:, :, dy : dy + SUB, dx : dx + SUB].set(
+            rec8.reshape(rec8.shape[:2] + (SUB, SUB))
+        )
+
+    return jnp.where(
+        spl[:, :, None] != 0, cur.reshape(cur.shape[:2] + (CC,)), rec16
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _build_decode32(P: int, H: int, W: int, deblock: bool,
+                    motion: bool = False, ty: int = 1, tx: int = 1):
+    with jax.ensure_compile_time_eval():
+        Hp = -(-H // CU32) * CU32
+        Wp = -(-W // CU32) * CU32
+        assert Hp % ty == 0 and Wp % tx == 0, (Hp, Wp, ty, tx)
+        Ht, Wt = Hp // ty, Wp // tx
+        PT = P * ty * tx
+        nby, nbx = Ht // CU32, Wt // CU32
+        nb = nby * nbx
+        bidx_tab, nbr_tab, nd, bmax = _neighbor_schedule(nby, nbx)
+        C32 = _SizeConsts(CU32)
+        C16 = _SizeConsts(CU)
+        C8 = _SizeConsts(SUB)
+        inv_zz32 = jnp.asarray(np.argsort(tab.zigzag(CU32)).astype(np.int32))
+        inv_zz16 = jnp.asarray(np.argsort(tab.zigzag(CU)).astype(np.int32))
+        inv_zz8 = jnp.asarray(np.argsort(tab.zigzag(SUB)).astype(np.int32))
+        dq_tab = jnp.asarray(tab.DQ64)
+
+    def run(s32, m32, c32, s16, modes, c16, qps, refs, maxvals, mv):
+        refs = refs.astype(jnp.int32)
+        if (Hp, Wp) != (H, W):
+            refs = jnp.pad(refs, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+        refs = _tiles_of(refs, ty, tx)
+        rep = lambda a: jnp.repeat(a, ty * tx, axis=0)
+        qps, maxvals = rep(qps), rep(maxvals)
+        if motion:
+            refs = _apply_motion(
+                refs, mv.astype(jnp.int32), MV_RANGE, nby, nbx, CU32
+            )
+        initv = ((maxvals + 1) // 2).astype(jnp.int32)
+        initc = initv[:, None, None]
+        ref_blk = _pad_rows(_to_blocks(refs, CU32), initc)
+        blk = jnp.broadcast_to(initc, (PT, nb + 2, CC32)).astype(jnp.int32)
+        dq = dq_tab[jnp.clip(qps, 0, 51)]
+        pad0 = lambda a: jnp.concatenate(
+            [a, jnp.zeros((PT, 2) + a.shape[2:], a.dtype)], axis=1
+        )
+        c32 = c32.astype(jnp.int32)
+        c16 = c16.astype(jnp.int32)
+        modes = modes.astype(jnp.int32)
+        s32_p = pad0(s32.astype(jnp.int32))
+        m32_p = pad0(m32.astype(jnp.int32))
+        c32_p = pad0(c32[:, :, inv_zz32])
+        s16_p = pad0(s16.astype(jnp.int32))
+        m16_p = pad0(modes[:, :, :, 0])
+        m8_p = pad0(modes)
+        c16_p = pad0(c16[:, :, :, inv_zz16])
+        c8_p = pad0(
+            c16.reshape(PT, nb, 4, 4, SUB * SUB)[:, :, :, :, inv_zz8]
+        )
+
+        def body(blk, xs):
+            bidx, nbr = xs
+            gather = lambda buf, ids: jnp.take(buf, ids, axis=1)
+            tile4 = lambda t: t.reshape(t.shape[:2] + (CU32, CU32))
+            up = tile4(gather(blk, nbr[:, 0]))
+            upleft = tile4(gather(blk, nbr[:, 1]))
+            upright = tile4(gather(blk, nbr[:, 2]))
+            left = tile4(gather(blk, nbr[:, 3]))
+            ref32 = gather(ref_blk, bidx)
+            spl32 = gather(s32_p, bidx)
+
+            refs32v = _refs32(up, upleft, upright, left, initc)
+            allp32 = _predict_all(refs32v, ref32, C32)
+            mode32 = gather(m32_p, bidx)
+            lev32 = gather(c32_p, bidx)
+            pred32 = jnp.take_along_axis(
+                allp32, mode32[:, :, None, None], axis=2
+            )[:, :, 0]
+            rec32 = _int_recon(lev32, pred32, dq, maxvals, C32)
+
+            cur32 = jnp.broadcast_to(
+                initc[:, :, :, None], ref32.shape[:2] + (CU32, CU32)
+            ).astype(jnp.int32)
+            s16b = gather(s16_p, bidx)                       # (P,B,4)
+            m16b = gather(m16_p, bidx)
+            m8b = gather(m8_p, bidx)                         # (P,B,4,4)
+            c16b = gather(c16_p, bidx)                       # (P,B,4,256)
+            c8b = gather(c8_p, bidx)                         # (P,B,4,4,64)
+            for q, (dy, dx) in enumerate(QOFF32):
+                up16, upleft16, upright16, left16 = _quad_tiles16(
+                    q, cur32, up, upleft, upright, left, initc
+                )
+                tile_q = _decode_cu16(
+                    _quadrant32(ref32, q), up16, upleft16, upright16,
+                    left16, initc, s16b[:, :, q], m16b[:, :, q],
+                    c16b[:, :, q], m8b[:, :, q], c8b[:, :, q],
+                    dq, maxvals, C16, C8,
+                )
+                cur32 = cur32.at[:, :, dy : dy + CU, dx : dx + CU].set(
+                    tile_q.reshape(tile_q.shape[:2] + (CU, CU))
+                )
+
+            tile = jnp.where(
+                spl32[:, :, None] != 0,
+                cur32.reshape(cur32.shape[:2] + (CC32,)), rec32,
+            )
+            blk = blk.at[:, bidx].set(tile)
+            return blk, None
+
+        xs = (jnp.asarray(bidx_tab), jnp.asarray(nbr_tab))
+        blk, _ = jax.lax.scan(body, blk, xs)
+        rec = _from_blocks(blk[:, :nb], Ht, Wt, CU32)
+        if deblock:
+            rec = _deblock(rec, qps, maxvals)
+        rec = _untile(rec, P, ty, tx)
+        return rec[:, :H, :W]
 
     return jax.jit(run)
 
@@ -647,33 +1072,13 @@ def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False,
             ref16 = gather(ref_blk, bidx)
             spl = gather(split_p, bidx)
 
-            refs16 = _refs16(up, upleft, upright, left, initc)
-            allp16 = _predict_all(refs16, ref16, C16)
             mode16 = gather(m16_p, bidx)
             lev16 = gather(c16_p, bidx)
-            pred16 = jnp.take_along_axis(
-                allp16, mode16[:, :, None, None], axis=2
-            )[:, :, 0]
-            rec16 = _int_recon(lev16, pred16, dq, maxvals, C16)
-
-            cur = jnp.broadcast_to(
-                initc[:, :, :, None], ref16.shape[:2] + (CU, CU)
-            ).astype(jnp.int32)
             m8b = gather(m8_p, bidx)                         # (P,B,4)
             c8b = gather(c8_p, bidx)                         # (P,B,4,64)
-            for s, (dy, dx) in enumerate(SUB_OFF):
-                refs8 = _refs8(s, cur, up, upleft, upright, left, initc)
-                allp8 = _predict_all(refs8, _quadrant(ref16, s), C8)
-                pred8 = jnp.take_along_axis(
-                    allp8, m8b[:, :, s][:, :, None, None], axis=2
-                )[:, :, 0]
-                rec8 = _int_recon(c8b[:, :, s], pred8, dq, maxvals, C8)
-                cur = cur.at[:, :, dy : dy + SUB, dx : dx + SUB].set(
-                    rec8.reshape(rec8.shape[:2] + (SUB, SUB))
-                )
-
-            tile = jnp.where(
-                spl[:, :, None] != 0, cur.reshape(cur.shape[:2] + (CC,)), rec16
+            tile = _decode_cu16(
+                ref16, up, upleft, upright, left, initc, spl, mode16,
+                lev16, m8b, c8b, dq, maxvals, C16, C8,
             )
             blk = blk.at[:, bidx].set(tile)
             return blk, None
@@ -696,6 +1101,7 @@ def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False,
 FLAG_INTER = 1
 FLAG_DEBLOCK = 2
 FLAG_MC = 4  # motion-compensated inter (per-CU MVs follow each plane blob)
+FLAG_CU32 = 8  # three-level (32/16/8) quadtree syntax
 
 
 def _inter_flags(split, modes):
@@ -705,6 +1111,17 @@ def _inter_flags(split, modes):
     any8 = (modes == tab.MODE_INTER).any(axis=1)
     is16 = modes[:, 0] == tab.MODE_INTER
     return np.where(spl, any8, is16).astype(np.int32)
+
+
+def _inter_flags32(s32, m32, s16, modes):
+    """(nb32,) int32: 1 where any chosen mode in the 32-CU's coded tree
+    uses the inter lane.  s16 (nb,4), modes (nb,4,4)."""
+    q_inter = np.where(
+        s16 != 0,
+        (modes == tab.MODE_INTER).any(axis=2),
+        modes[:, :, 0] == tab.MODE_INTER,
+    ).any(axis=1)
+    return np.where(s32 != 0, q_inter, m32 == tab.MODE_INTER).astype(np.int32)
 
 
 def _round_int_plane(plane, occ):
@@ -762,6 +1179,64 @@ def encode_planes(
     w_a = jnp.asarray(weight) if has_weight else jnp.zeros((1, 1), jnp.int32)
     qps_a = jnp.asarray(np.asarray(qps, np.int32))
     mv_a = jnp.asarray(np.asarray(maxvals, np.int32))
+    # three-level (32/16/8) quadtree when the integer-exact prediction
+    # matmul bound allows it at n=32 (sums <= 2*32*maxval < 2^16)
+    use32 = ENABLE_CU32 and max(int(m) for m in maxvals) <= 1023
+    if use32:
+        Hp, Wp = -(-H // CU32) * CU32, -(-W // CU32) * CU32
+        ty, tx = _tile_grid(Hp, Wp, cu=CU32)
+        fn = _build_encode32(
+            P, H, W, deblock, has_occ, has_weight, motion, ty, tx
+        )
+        s32, m32, c32, s16, modes, c16, rec, mvs = fn(
+            planes, qps_a, refs_a, jnp.asarray(bool(has_ref)), mv_a, occ_a,
+            w_a,
+        )
+        for a in (s32, m32, c32, s16, modes, c16, mvs):
+            a.copy_to_host_async()
+        s32_h = np.asarray(s32).astype(np.int32)
+        m32_h = np.asarray(m32).astype(np.int32)
+        c32_h = np.asarray(c32).astype(np.int32)
+        s16_h = np.asarray(s16).astype(np.int32)
+        modes_h = np.asarray(modes).astype(np.int32)
+        c16_h = np.asarray(c16).astype(np.int32)
+        mv_h = np.asarray(mvs).astype(np.int32)
+        nby, nbx = Hp // ty // CU32, Wp // tx // CU32
+        flags = (
+            (FLAG_INTER if has_ref else 0)
+            | (FLAG_DEBLOCK if deblock else 0)
+            | (FLAG_MC if motion else 0)
+            | FLAG_CU32
+        )
+        T = ty * tx
+        out = bytearray()
+        out += struct.pack("<HHBBBB", H, W, P, flags, ty, tx)
+        for p in range(P):
+            out += struct.pack("<BH", int(qps[p]), int(maxvals[p]))
+            sl = slice(p * T, (p + 1) * T)
+            blob = entropy.encode_hevc32_plane(
+                T * nby, nbx,
+                s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
+                c32_h[sl].reshape(-1, CC32),
+                s16_h[sl].reshape(-1, 4), modes_h[sl].reshape(-1, 4, 4)[:, :, 0],
+                c16_h[sl].reshape(-1, 4, CC),
+                modes_h[sl].reshape(-1, 4, 4),
+                c16_h[sl].reshape(-1, 4, 4, SUB * SUB),
+            )
+            out += struct.pack("<I", len(blob))
+            out += blob
+            if motion:
+                mvblob = entropy.encode_mvs(
+                    _inter_flags32(
+                        s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
+                        s16_h[sl].reshape(-1, 4),
+                        modes_h[sl].reshape(-1, 4, 4),
+                    ),
+                    mv_h[sl].reshape(-1, 2),
+                )
+                out += struct.pack("<I", len(mvblob))
+                out += mvblob
+        return bytes(out), rec
     Hp, Wp = -(-H // CU) * CU, -(-W // CU) * CU
     ty, tx = _tile_grid(Hp, Wp)
     fn = _build_encode(P, H, W, deblock, has_occ, has_weight, motion, ty, tx)
@@ -812,14 +1287,16 @@ def decode_planes(payload: bytes, refs=None) -> jax.Array:
     """Inverse of encode_planes: payload -> (P, H, W) int32 recon ON DEVICE."""
     H, W, P, flags, ty, tx = struct.unpack("<HHBBBB", payload[:8])
     pos = 8
+    motion = bool(flags & FLAG_MC)
+    if (flags & FLAG_INTER) and refs is None:
+        raise ValueError("inter-coded payload requires refs")
+    if flags & FLAG_CU32:
+        return _decode_planes32(payload, refs, H, W, P, flags, ty, tx)
     Hp = -(-H // CU) * CU
     Wp = -(-W // CU) * CU
     nby, nbx = Hp // ty // CU, Wp // tx // CU
     nb = nby * nbx
     T = ty * tx
-    motion = bool(flags & FLAG_MC)
-    if (flags & FLAG_INTER) and refs is None:
-        raise ValueError("inter-coded payload requires refs")
     qps = np.zeros(P, np.int32)
     maxvals = np.zeros(P, np.int32)
     split = np.zeros((P * T, nb), np.int8)
@@ -859,6 +1336,68 @@ def decode_planes(payload: bytes, refs=None) -> jax.Array:
     fn = _build_decode(P, H, W, bool(flags & FLAG_DEBLOCK), motion, ty, tx)
     return fn(
         jnp.asarray(split), jnp.asarray(modes), jnp.asarray(coeff),
+        jnp.asarray(qps), refs_a, jnp.asarray(maxvals), jnp.asarray(mv),
+    )
+
+
+def _decode_planes32(payload, refs, H, W, P, flags, ty, tx):
+    motion = bool(flags & FLAG_MC)
+    pos = 8
+    Hp = -(-H // CU32) * CU32
+    Wp = -(-W // CU32) * CU32
+    nby, nbx = Hp // ty // CU32, Wp // tx // CU32
+    nb = nby * nbx
+    T = ty * tx
+    qps = np.zeros(P, np.int32)
+    maxvals = np.zeros(P, np.int32)
+    s32 = np.zeros((P * T, nb), np.int8)
+    m32 = np.zeros((P * T, nb), np.int8)
+    c32 = np.zeros((P * T, nb, CC32), np.int16)
+    s16 = np.zeros((P * T, nb, 4), np.int8)
+    modes = np.zeros((P * T, nb, 4, 4), np.int8)
+    c16 = np.zeros((P * T, nb, 4, CC), np.int16)
+    mv = np.zeros((P * T, nb, 2), np.int8)
+    for p in range(P):
+        qps[p], maxvals[p] = struct.unpack("<BH", payload[pos : pos + 3])
+        pos += 3
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        S32, M32, C32v, S16, M16, C16v, M8, C8v = entropy.decode_hevc32_plane(
+            payload[pos : pos + ln], T * nby, nbx
+        )
+        pos += ln
+        sl = slice(p * T, (p + 1) * T)
+        s32[sl] = S32.astype(np.int8).reshape(T, nb)
+        m32[sl] = M32.astype(np.int8).reshape(T, nb)
+        c32[sl] = C32v.astype(np.int16).reshape(T, nb, CC32)
+        s16[sl] = S16.astype(np.int8).reshape(T, nb, 4)
+        m4 = np.where(
+            S16[:, :, None] != 0, M8,
+            np.concatenate(
+                [M16[:, :, None], np.zeros((T * nb, 4, 3), np.int32)], 2
+            ),
+        )
+        modes[sl] = m4.astype(np.int8).reshape(T, nb, 4, 4)
+        cq = np.where(
+            S16[:, :, None] != 0, C8v.reshape(T * nb, 4, CC), C16v
+        )
+        c16[sl] = cq.astype(np.int16).reshape(T, nb, 4, CC)
+        if motion:
+            (mvln,) = struct.unpack("<I", payload[pos : pos + 4])
+            pos += 4
+            inter = _inter_flags32(S32, M32, S16, m4)
+            mv[sl] = entropy.decode_mvs(
+                payload[pos : pos + mvln], inter
+            ).astype(np.int8).reshape(T, nb, 2)
+            pos += mvln
+    if flags & FLAG_INTER:
+        refs_a = jnp.asarray(refs)
+    else:
+        refs_a = jnp.zeros((P, H, W), jnp.int32)
+    fn = _build_decode32(P, H, W, bool(flags & FLAG_DEBLOCK), motion, ty, tx)
+    return fn(
+        jnp.asarray(s32), jnp.asarray(m32), jnp.asarray(c32),
+        jnp.asarray(s16), jnp.asarray(modes), jnp.asarray(c16),
         jnp.asarray(qps), refs_a, jnp.asarray(maxvals), jnp.asarray(mv),
     )
 
