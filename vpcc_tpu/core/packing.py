@@ -281,3 +281,110 @@ def pack_tetris(
     width = width_blk * res
     height = ((height_blk * res + 255) // 256) * 256
     return width, height
+
+
+def pack_global(
+    frame_patches: List[List[Patch]],
+    cfg: VPCCConfig,
+    parents: "List[int] | None" = None,
+    preset_width: int = 0,
+    preset_height: int = 0,
+) -> Tuple[int, int]:
+    """Global patch allocation over a (sub)GOF (reference GPA,
+    PCCEncoder.cpp:6821-7651 performDataAdaptiveGPAMethod): temporally
+    matched patch CHAINS get one shared (u0, v0, orientation) allocated
+    against the union of the chain's footprints across frames — patch
+    positions stop breathing frame to frame, so the atlas P-tiles collapse
+    to SKIP/MERGE and the video planes become temporally static.
+
+    Expects `match_patches` to have linked consecutive frames
+    (ref_patch_idx).  Mutates every patch in place; returns the common
+    (width, height) for the whole subGOF.  Placement validity tests the
+    chain's full union rectangle against occupied blocks but claims only
+    the UNION of the members' block occupancies — the same (tighter)
+    invariant pack_flexible uses, valid in every frame because each
+    member's footprint is a subset of the chain union."""
+    res = cfg.occupancyResolution
+    # --- build chains through the ref links (over the coding-structure
+    # tree when `parents` is given, else consecutive frames)
+    chains: List[List[Patch]] = []
+    chain_of_frame: List[dict] = []
+    for fi, patches in enumerate(frame_patches):
+        ref_frame = (parents[fi] if parents is not None else fi - 1)
+        chain_of: dict = {}
+        for pi, p in enumerate(patches):
+            ref = getattr(p, "ref_patch_idx", -1)
+            if (
+                fi > 0
+                and ref >= 0
+                and 0 <= ref_frame < fi
+                and ref in chain_of_frame[ref_frame]
+            ):
+                ci = chain_of_frame[ref_frame][ref]
+                chains[ci].append(p)
+            else:
+                ci = len(chains)
+                chains.append([p])
+            chain_of[pi] = ci
+        chain_of_frame.append(chain_of)
+
+    # --- union footprint per chain (oriented, occupancy OR over members)
+    entries = []
+    for ci, members in enumerate(chains):
+        m0 = members[0]
+        orient_pref = (
+            ORIENT_HORIZONTAL if m0.size_u0 > m0.size_v0 else ORIENT_VERTICAL
+        )
+        o = orient_pref[0] if cfg.packingStrategy else ORIENT_DEFAULT
+        fw = fh = 0
+        fps = []
+        for p in members:
+            fp = _orient_footprint(p.block_occupancy(), o)
+            fps.append(fp)
+            fh, fw = max(fh, fp.shape[0]), max(fw, fp.shape[1])
+        union = np.zeros((fh, fw), bool)
+        for fp in fps:
+            union[: fp.shape[0], : fp.shape[1]] |= fp
+        entries.append((fh * fw, ci, o, fw, fh, union))
+    entries.sort(key=lambda e: (-e[0], e[1]))
+
+    width_blk = max(
+        cfg.minimumImageWidth if preset_width == 0 else preset_width, 64
+    ) // res
+    for e in entries:
+        width_blk = max(width_blk, e[3] + 1)
+    height_blk = max(
+        max((e[4] for e in entries), default=1),
+        (cfg.minimumImageHeight if preset_height == 0 else preset_height) // res,
+    )
+    canvas = np.zeros((height_blk, width_blk), bool)
+    for _, ci, o, fw, fh, union in entries:
+        placed = False
+        while not placed:
+            vmap = _valid_positions(canvas, np.ones((fh, fw), bool))
+            if vmap.size and vmap.any():
+                flat = int(np.argmax(vmap))
+                vv, uu = divmod(flat, vmap.shape[1])
+                canvas[vv : vv + fh, uu : uu + fw] |= union
+                for p in chains[ci]:
+                    p.u0, p.v0, p.orientation = uu, vv, o
+                    p.gpa_chain = ci
+                placed = True
+            else:
+                canvas = np.concatenate(
+                    [canvas, np.zeros_like(canvas)], axis=0
+                )
+                height_blk = canvas.shape[0]
+
+    used_rows = 0
+    for patches in frame_patches:
+        for p in patches:
+            fw2, fh2 = p.canvas_footprint()
+            used_rows = max(used_rows, p.v0 + fh2)
+    height_blk = max(
+        used_rows,
+        (cfg.minimumImageHeight if preset_height == 0 else preset_height) // res,
+    )
+    width = width_blk * res
+    height = ((height_blk * res + 255) // 256) * 256
+    return width, height

@@ -337,6 +337,8 @@ class Encoder:
         temporal_refs: "dict | None" = None,
         qp_offset: int = 0,
         qp_offset_geo: "int | None" = None,
+        pregen: "tuple | None" = None,
+        preset_size: "tuple | None" = None,
     ) -> EncodedFrame:
         """temporal_refs: explicit decoded reference maps per substream
         ({'geo': plane|None, 'attr': (y, c)|None}) — hierarchical GOPs pass
@@ -344,7 +346,10 @@ class Encoder:
         legacy previous-frame chain.  qp_offset: hierarchical QP cascade for
         the attribute substreams; qp_offset_geo overrides it for geometry
         (kept gentle — D1 tracks geometry QP directly, while attribute
-        leaves absorb deep offsets cheaply)."""
+        leaves absorb deep offsets cheaply).  pregen: (patches, cover_dist2)
+        from a prior generate_patches pass (the GPA two-phase path).
+        preset_size: (width, height) when patch positions were already
+        allocated globally (pack_global) — packing is skipped."""
         if qp_offset_geo is None:
             qp_offset_geo = qp_offset
         cfg = self.cfg
@@ -353,13 +358,19 @@ class Encoder:
         st = EncoderStats(point_count=pc_host.point_count)
         t0 = time.perf_counter()
 
-        if seg is None:
-            seg = self.segment_dispatch(pc_host)
-        partition, dev_graph, _n = self.segment_fetch(seg)
-        st.segmentation_s = time.perf_counter() - t0
+        if pregen is not None:
+            patches, cover_dist2, sp_pregen = pregen
+            st.segmentation_s = time.perf_counter() - t0
+            t = time.perf_counter()
+        else:
+            sp_pregen = None
+            if seg is None:
+                seg = self.segment_dispatch(pc_host)
+            partition, dev_graph, _n = self.segment_fetch(seg)
+            st.segmentation_s = time.perf_counter() - t0
 
-        t = time.perf_counter()
-        patches, cover_dist2 = self.generate_patches(pc_host, partition, dev_graph)
+            t = time.perf_counter()
+            patches, cover_dist2 = self.generate_patches(pc_host, partition, dev_graph)
         # raw-points patch: points still uncovered after all rounds are coded
         # verbatim (lossless conditions; reference rawPointsPatch,
         # PCCPatchSegmenter.cpp:1294-1320)
@@ -373,14 +384,19 @@ class Encoder:
         st.patchgen_s = time.perf_counter() - t
 
         t = time.perf_counter()
-        if prev_patches and cfg.constrainedPack:
-            packing.match_patches(patches, prev_patches)
-        # height ratchet: reuse the largest height seen so far in this GOF so
-        # consecutive frames share one atlas shape (keeps every downstream
-        # shape-specialized XLA program cached; heights are 256-bucketed)
-        width, height = packing.pack_flexible(
-            patches, cfg, preset_height=getattr(self, "_height_hint", 0)
-        )
+        if preset_size is not None:
+            # GPA already matched and globally allocated every patch
+            width, height = preset_size
+        else:
+            if prev_patches and cfg.constrainedPack:
+                packing.match_patches(patches, prev_patches)
+            # height ratchet: reuse the largest height seen so far in this
+            # GOF so consecutive frames share one atlas shape (keeps every
+            # downstream shape-specialized XLA program cached; heights are
+            # 256-bucketed)
+            width, height = packing.pack_flexible(
+                patches, cfg, preset_height=getattr(self, "_height_hint", 0)
+            )
         self._height_hint = max(getattr(self, "_height_hint", 0), height)
         frame = atlas_mod.rasterize_frame(patches, width, height, cfg)
         st.packing_s = time.perf_counter() - t
@@ -474,8 +490,9 @@ class Encoder:
         bits = cfg.geometryBitDepth3D
         src_cap = shape_bucket(pc_host.point_count)
         # source positions are already on device (dev_graph carries them
-        # from segmentation) — only the colors upload
-        sp_dev = dev_graph[4]
+        # from segmentation; the GPA two-phase path hands them over in
+        # pregen) — only the colors upload
+        sp_dev = sp_pregen if sp_pregen is not None else dev_graph[4]
         assert int(sp_dev.shape[0]) == src_cap
         sc = np.zeros((src_cap, 3), np.int32)
         if pc_host.colors is not None:
@@ -658,18 +675,62 @@ class Encoder:
         streams = self._new_streams()
         encoded = []
         parent, qp_off = self.gof_structure(len(frames))
+        # --- GPA two-phase (reference performDataAdaptiveGPAMethod,
+        # PCCEncoder.cpp:6821-7651): segment+patchgen the whole GOF first,
+        # chain-match consecutive frames, allocate every chain ONE global
+        # position, then re-link the P-tile refs to the hierarchical tree
+        gpa = bool(cfg.globalPatchAllocation) and len(frames) > 1
+        pregen_data = None
+        gpa_size = None
+        if gpa:
+            # phase A: segmentation + patchgen + the per-frame packing
+            # baseline (identical to the non-GPA flow)
+            pregen_data = []
+            all_patches = []
+            hint = getattr(self, "_height_hint", 0)
+            pf_w = pf_h = 0
+            for i, f in enumerate(frames):
+                partition, dev_graph, _ = self.segment(f)
+                patches, dist2 = self.generate_patches(f, partition, dev_graph)
+                # match against the TREE PARENT — the same matching the
+                # non-GPA flow performs, so the adaptive fallback below is
+                # identical to per-frame packing
+                if i > 0 and cfg.constrainedPack:
+                    packing.match_patches(patches, all_patches[parent[i]])
+                w, h = packing.pack_flexible(
+                    patches, cfg, preset_height=max(hint, pf_h)
+                )
+                pf_w, pf_h = max(pf_w, w), max(pf_h, h)
+                pregen_data.append((patches, dist2, dev_graph[4]))
+                all_patches.append(patches)
+            pf_assign = [
+                [(p.u0, p.v0, p.orientation) for p in ps] for ps in all_patches
+            ]
+            # phase B: global allocation over the tree-linked chains
+            gpa_size = packing.pack_global(
+                all_patches, cfg, parents=parent, preset_height=hint
+            )
+            # data-adaptive choice (reference performDataAdaptiveGPAMethod):
+            # take GPA's frame-stable positions unless they cost canvas area
+            if gpa_size[0] * gpa_size[1] > pf_w * pf_h:
+                for ps, assign in zip(all_patches, pf_assign):
+                    for p, (u0, v0, o) in zip(ps, assign):
+                        p.u0, p.v0, p.orientation = u0, v0, o
+                gpa_size = (pf_w, pf_h)
         # decoded-reference banks, keyed by frame index, pruned as the tree
         # consumes them
         geo_bank: dict = {}
         attr_bank: dict = {}
         needed = [set(parent[i + 1 :]) for i in range(len(frames))] + [set()]
-        pending_seg = self.segment_dispatch(frames[0]) if frames else None
+        pending_seg = (
+            self.segment_dispatch(frames[0]) if frames and not gpa else None
+        )
         for i, f in enumerate(frames):
             seg = pending_seg
             # dispatch frame i+1 BEFORE consuming frame i's results: the
             # device pipelines the next segmentation under this frame's
             # host-side stages (patch gen, packing, entropy)
-            if i + 1 < len(frames):
+            if i + 1 < len(frames) and not gpa:
                 pending_seg = self.segment_dispatch(frames[i + 1])
             if i == 0:
                 trefs = {"geo": None, "attr": None}
@@ -684,6 +745,8 @@ class Encoder:
                 f, streams=streams, prev_patches=prev_patches, seg=seg,
                 temporal_refs=trefs, qp_offset=qp_off[i],
                 qp_offset_geo=min(qp_off[i], 1),
+                pregen=pregen_data[i] if gpa else None,
+                preset_size=gpa_size,
             )
             encoded.append(e)
             if i in needed[i]:
