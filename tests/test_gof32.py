@@ -192,3 +192,51 @@ def test_global_patch_allocation():
                 1 for t in tiles[1:] for p in t.patches if p.ref_index >= 0
             )
             assert total_linked > 0
+
+
+def test_multi_tile_atlas():
+    """numMaxTilePerFrame=2: patches partition into two independently
+    packed tile row bands with per-tile ATLs (reference tile partitioning,
+    PCCEncoder.cpp:4837-5355).  The full stream must decode to the encoder
+    reconstruction, and each tile's ATL chain must parse INDEPENDENTLY
+    (tile_filter partial access, per-tile hash SEIs verified)."""
+    from vpcc_tpu.bitstream import v3c
+
+    frames = _moving_gof(n_frames=4, n=9000)
+    cfg = VPCCConfig()
+    cfg.geometry3dCoordinatesBitdepth = 7
+    cfg.minimumImageWidth = 128
+    cfg.minimumImageHeight = 128
+    cfg.resolution = 127
+    cfg.iterationCountRefineSegmentation = 4
+    cfg.geometryQP = 20
+    cfg.attributeQP = 26
+    cfg.numMaxTilePerFrame = 2
+
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof(frames)
+
+    dec = Decoder(VPCCConfig.from_args(["--removeDuplicatePoints=1"]))
+    decoded = dec.decode(stream)
+    for i, (a, b) in enumerate(zip(recons, decoded)):
+        assert a.point_count == b.point_count, i
+        ka = np.lexsort(a.positions.T)
+        kb = np.lexsort(b.positions.T)
+        np.testing.assert_array_equal(a.positions[ka], b.positions[kb], err_msg=f"frame {i}")
+        np.testing.assert_array_equal(a.colors[ka], b.colors[kb], err_msg=f"frame {i}")
+
+    for utype, payload in v3c.read_sample_stream(stream):
+        if utype != v3c.V3C_AD:
+            continue
+        # full parse: 2 tiles per frame, all hashes good
+        _, afps, tiles_all, hash_ok, _ = v3c.read_atlas_substream(payload)
+        assert afps.num_tiles_minus1 == 1
+        assert len(tiles_all) == 4 and all(hash_ok)
+        assert len(hash_ok) == 8  # one hash SEI per ATL
+        # partial access: tile 0 alone parses with its own prediction chain
+        _, _, tiles_0, hash_ok0, _ = v3c.read_atlas_substream(
+            payload, tile_filter={0}
+        )
+        assert len(tiles_0) == 4 and all(hash_ok0)
+        for t_all, t_0 in zip(tiles_all, tiles_0):
+            assert 0 < len(t_0.patches) < len(t_all.patches)

@@ -100,7 +100,9 @@ def test_plr_saves_rate_vs_two_maps(cloud):
     map 1 cheap at this scale)."""
     s_plr, _ = Encoder(_cfg(pointLocalReconstruction=1)).encode_gof([cloud])
     s_two, _ = Encoder(_cfg()).encode_gof([cloud])
-    assert len(s_plr) < len(s_two) * 0.95, (len(s_plr), len(s_two))
+    # group dilation (round 4) zeroes map-1's background delta, so
+    # two-map coding got cheaper and PLR's margin narrowed
+    assert len(s_plr) < len(s_two) * 0.98, (len(s_plr), len(s_two))
 
 
 def test_plr_syntax_roundtrip():

@@ -318,6 +318,12 @@ class AtlasTileLayer:
     # chain; >1 = hierarchical-GOP tree parent, reference ref-list syntax
     # atgh_ref_atlas_frame_list, PCCBitstreamCommon.h AtlasTileHeader)
     ref_frame_delta: int = 1
+    # multi-tile atlases (reference tile partitioning,
+    # PCCEncoder.cpp:4837-5355 + AFPS tile information): tile_id selects
+    # the partition; pos_y is coded relative to tile_row_start (blocks), so
+    # each tile's ATL parses and predicts independently of its siblings
+    tile_id: int = 0
+    tile_row_start: int = 0
     plr_enabled: int = 0  # from ASPS; set by the substream writer/reader
 
     def _patch_mode(self, p: PatchDataUnit) -> int:
@@ -347,6 +353,8 @@ class AtlasTileLayer:
 
     def write(self, bw: BitWriter) -> None:
         bw.ue(self.frame_index)
+        bw.ue(self.tile_id)
+        bw.ue(self.tile_row_start)
         bw.u(1, self.tile_type)
         if self.tile_type == TILE_P:
             bw.ue(self.ref_frame_delta - 1)
@@ -420,12 +428,14 @@ class AtlasTileLayer:
         t = cls()
         t.plr_enabled = plr_enabled
         t.frame_index = br.ue()
+        t.tile_id = br.ue()
+        t.tile_row_start = br.ue()
         t.tile_type = br.u(1)
         if t.tile_type == TILE_P:
             t.ref_frame_delta = br.ue() + 1
             if prior_tiles is not None:
                 ref_patches = prior_tiles[
-                    t.frame_index - t.ref_frame_delta
+                    (t.frame_index - t.ref_frame_delta, t.tile_id)
                 ].patches
         n = br.ue()
         t.patches = []
@@ -946,11 +956,15 @@ def write_atlas_substream(
         _sei_size_write(b, len(payload))
         b.bytes_(payload)
         _write_nal(bw, NAL_PREFIX_ESEI, b.getvalue())
-    for fi, t in enumerate(tiles):
+    for t in tiles:
         t.plr_enabled = asps.plr_enabled_flag
         b = BitWriter()
         t.write(b)
-        _write_nal(bw, NAL_IDR_N_LP if fi == 0 else NAL_TRAIL_N, b.getvalue())
+        _write_nal(
+            bw,
+            NAL_IDR_N_LP if t.frame_index == 0 else NAL_TRAIL_N,
+            b.getvalue(),
+        )
         sei = BitWriter()
         sei.u(8, SEI_DECODED_ATLAS_INFORMATION_HASH)
         _sei_size_write(sei, 16)  # payload size: md5
@@ -959,17 +973,22 @@ def write_atlas_substream(
     return bw.getvalue()
 
 
-def read_atlas_substream(payload: bytes):
+def read_atlas_substream(payload: bytes, tile_filter=None):
     """Returns (asps, afps, tiles, hash_ok: List[bool], seis: dict keyed by
     SEI payload type; seis also carries the AAPS under key "aaps").
-    Verifies each frame's decoded-atlas-information-hash SEI against the
-    parsed patches (reference: PCCDecoder.cpp:1214)."""
+    Multi-tile frames are merged into one AtlasTileLayer per frame (patch
+    prediction resolves per (frame, tile) so every tile's ATL chain parses
+    independently); pass `tile_filter` (a set of tile ids) for partial
+    access — only the listed tiles are parsed and merged.  Verifies each
+    ATL's decoded-atlas-information-hash SEI against its parsed patches
+    (reference: PCCDecoder.cpp:1214)."""
     br = BitReader(payload)
     asps = afps = None
-    tiles: List[AtlasTileLayer] = []
+    by_tile: dict = {}          # (frame, tile_id) -> AtlasTileLayer
+    frame_order: List[int] = []
     hash_ok: List[bool] = []
     seis: dict = {}
-    prev = None
+    last = None
     while br.more_data():
         ln = br.u(32)
         unit = br.bytes_(ln)
@@ -982,13 +1001,23 @@ def read_atlas_substream(payload: bytes):
         elif nal_type == NAL_AAPS:
             seis["aaps"] = AtlasAdaptationParameterSet.read(body)
         elif nal_type in (NAL_IDR_N_LP, NAL_TRAIL_N):
+            if tile_filter is not None:
+                peek = BitReader(unit[2:])
+                peek.ue()  # frame_index
+                if peek.ue() not in tile_filter:
+                    # skip WITHOUT parsing: a filtered tile's prediction
+                    # chain is never needed (tiles are independent)
+                    last = None
+                    continue
             t = AtlasTileLayer.read(
-                body, ref_patches=prev,
+                body,
                 plr_enabled=asps.plr_enabled_flag if asps else 0,
-                prior_tiles=tiles,
+                prior_tiles=by_tile,
             )
-            tiles.append(t)
-            prev = t.patches
+            by_tile[(t.frame_index, t.tile_id)] = t
+            if t.frame_index not in frame_order:
+                frame_order.append(t.frame_index)
+            last = t
         elif nal_type == NAL_PREFIX_ESEI:
             ptype = body.u(8)
             size = _sei_size_read(body)
@@ -1000,11 +1029,40 @@ def read_atlas_substream(payload: bytes):
             ptype = body.u(8)
             size = _sei_size_read(body)
             data = body.bytes_(size)
-            if ptype == SEI_DECODED_ATLAS_INFORMATION_HASH and tiles:
+            if ptype == SEI_DECODED_ATLAS_INFORMATION_HASH and last is not None:
                 hash_ok.append(data == patch_list_hash(
-                    tiles[-1].patches,
+                    last.patches,
                     plr_enabled=asps.plr_enabled_flag if asps else 0,
                 ))
+    # merge tiles into one layer per frame (patch order: tile id ascending)
+    tiles: List[AtlasTileLayer] = []
+    for fi in sorted(frame_order):
+        parts = sorted(
+            (t for (f, _), t in by_tile.items() if f == fi),
+            key=lambda t: t.tile_id,
+        )
+        if len(parts) == 1:
+            tiles.append(parts[0])
+            continue
+        merged = AtlasTileLayer(
+            frame_index=fi,
+            patches=[p for t in parts for p in t.patches],
+            tile_type=parts[0].tile_type,
+            ref_frame_delta=parts[0].ref_frame_delta,
+            geometry_bits=parts[0].geometry_bits,
+        )
+        for t in parts:
+            if t.raw_positions is not None:
+                merged.raw_positions = (
+                    t.raw_positions if merged.raw_positions is None
+                    else np.concatenate([merged.raw_positions, t.raw_positions])
+                )
+                if t.raw_colors is not None:
+                    merged.raw_colors = (
+                        t.raw_colors if merged.raw_colors is None
+                        else np.concatenate([merged.raw_colors, t.raw_colors])
+                    )
+        tiles.append(merged)
     return asps, afps, tiles, hash_ok, seis
 
 

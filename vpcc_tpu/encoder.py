@@ -384,10 +384,60 @@ class Encoder:
         st.patchgen_s = time.perf_counter() - t
 
         t = time.perf_counter()
+        ntiles = max(int(getattr(cfg, "numMaxTilePerFrame", 1)), 1)
         if preset_size is not None:
             # GPA already matched and globally allocated every patch
             width, height = preset_size
+        elif ntiles > 1:
+            # multi-tile atlas (reference tile segmentation/placement,
+            # PCCEncoder.cpp:4837-5355): matched patches stay in their
+            # reference's tile, new patches go to the least-loaded tile;
+            # each tile packs independently into its own row band
+            if prev_patches and cfg.constrainedPack:
+                packing.match_patches(patches, prev_patches)
+            loads = [0] * ntiles
+            for p in patches:
+                tid = -1
+                if prev_patches and p.ref_patch_idx >= 0:
+                    tid = getattr(
+                        prev_patches[p.ref_patch_idx], "tile_assigned", -1
+                    )
+                if tid < 0:
+                    tid = loads.index(min(loads))
+                p.tile_assigned = tid
+                loads[tid] += p.size_u0 * p.size_v0
+            res = cfg.occupancyResolution
+            hints = getattr(self, "_tile_hints", [0] * ntiles)
+            rows = []
+            width = 0
+            row_blk = 0
+            subs = []
+            for ti in range(ntiles):
+                sub = [p for p in patches if p.tile_assigned == ti]
+                rows.append(row_blk)
+                if sub:
+                    w, h = packing.pack_flexible(
+                        sub, cfg, preset_height=hints[ti]
+                    )
+                else:
+                    w, h = cfg.minimumImageWidth, 256
+                hints[ti] = max(hints[ti], h)
+                for p in sub:
+                    p.v0 += row_blk
+                width = max(width, w)
+                row_blk += h // res
+                subs.append(sub)
+            # canonical patch order = tile-major coded order, so the
+            # encoder's rasterization overwrite order matches the
+            # decoder's merged-tile patch order exactly
+            patches[:] = [p for sub in subs for p in sub]
+            self._tile_hints = hints
+            self._tile_rows = rows
+            height = row_blk * res
         else:
+            for p in patches:
+                p.tile_assigned = 0
+            self._tile_rows = [0]
             if prev_patches and cfg.constrainedPack:
                 packing.match_patches(patches, prev_patches)
             # height ratchet: reuse the largest height seen so far in this
@@ -801,21 +851,50 @@ class Encoder:
         # hash SEI).  Frames 1..N are P-tiles predicting matched patches
         # from the previous tile (reference inter/merge/skip patch modes,
         # PCCDecoder.cpp:750-1213; NAL assembly PCCBitstreamWriter.cpp:348)
+        ntiles = max(int(getattr(cfg, "numMaxTilePerFrame", 1)), 1)
+        if gpa:
+            ntiles = 1
+        tile_rows = getattr(self, "_tile_rows", [0] * ntiles)
         tiles = []
-        pdus_list = []
+        groups_list = []   # per frame: per tile, the patch objects
+        pdus_list = []     # per frame: per tile, the PDUs (coded order)
         for fi, e in enumerate(encoded):
-            pdus = [_patch_to_pdu(p, cfg) for p in e.patches]
-            tiles.append(v3c.AtlasTileLayer(
-                frame_index=fi,
-                patches=pdus,
-                raw_positions=e.raw_positions,
-                raw_colors=e.raw_colors,
-                geometry_bits=cfg.geometryBitDepth3D,
-                tile_type=v3c.TILE_I if fi == 0 else v3c.TILE_P,
-                ref_patches=None if fi == 0 else pdus_list[parent[fi]],
-                ref_frame_delta=max(fi - parent[fi], 1),
-            ))
-            pdus_list.append(pdus)
+            groups = [[] for _ in range(ntiles)]
+            for p in e.patches:
+                groups[getattr(p, "tile_assigned", 0)].append(p)
+            frame_pdus = []
+            for ti in range(ntiles):
+                pdus = [_patch_to_pdu(p, cfg) for p in groups[ti]]
+                # ref indices address the SAME tile of the parent frame
+                if fi > 0:
+                    idx_in_tile = {
+                        id(q): k
+                        for k, q in enumerate(groups_list[parent[fi]][ti])
+                    }
+                    parent_full = encoded[parent[fi]].patches
+                    for p, pdu in zip(groups[ti], pdus):
+                        pdu.ref_index = -1
+                        if 0 <= p.ref_patch_idx < len(parent_full):
+                            pdu.ref_index = idx_in_tile.get(
+                                id(parent_full[p.ref_patch_idx]), -1
+                            )
+                tiles.append(v3c.AtlasTileLayer(
+                    frame_index=fi,
+                    tile_id=ti,
+                    tile_row_start=tile_rows[ti] if ti < len(tile_rows) else 0,
+                    patches=pdus,
+                    raw_positions=e.raw_positions if ti == 0 else None,
+                    raw_colors=e.raw_colors if ti == 0 else None,
+                    geometry_bits=cfg.geometryBitDepth3D,
+                    tile_type=v3c.TILE_I if fi == 0 else v3c.TILE_P,
+                    ref_patches=(
+                        None if fi == 0 else pdus_list[parent[fi]][ti]
+                    ),
+                    ref_frame_delta=max(fi - parent[fi], 1),
+                ))
+                frame_pdus.append(pdus)
+            groups_list.append(groups)
+            pdus_list.append(frame_pdus)
         from vpcc_tpu.ops.plr import MODE_TABLE as _PLR_TABLE
 
         ntbl = max(min(int(cfg.plrlNumberOfModes), len(_PLR_TABLE)), 1)
@@ -831,7 +910,7 @@ class Encoder:
             plr_block_threshold=int(cfg.patchSize),
             plr_mode_table=_PLR_TABLE[:ntbl],
         )
-        afps = v3c.AtlasFrameParameterSet()
+        afps = v3c.AtlasFrameParameterSet(num_tiles_minus1=ntiles - 1)
         # post-processing parameters as essential prefix SEIs (reference
         # create{GeometrySmoothing,AttributeSmoothing,OccupancySynthesis}Sei,
         # PCCEncoder.cpp:8472-8614)
