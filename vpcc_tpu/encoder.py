@@ -108,7 +108,15 @@ class Encoder:
         valid_rows = positions[:, 0] != PAD_COORD
         nn_valid = (nn_d2 < neighbors.MAX_DIST2) & valid_rows[:, None]
 
-        nrm = normals_mod.compute_normals(positions, nn_idx, nn_valid, valid_rows)
+        nrm = normals_mod.compute_normals(
+            positions, nn_idx, nn_valid, valid_rows,
+            mode=int(cfg.normalOrientation),
+            viewpoint=(
+                float(getattr(cfg, "viewPointX", 0.0)),
+                float(getattr(cfg, "viewPointY", 0.0)),
+                float(getattr(cfg, "viewPointZ", 0.0)),
+            ),
+        )
         orients = jnp.asarray(get_orientations(cfg.additionalProjectionPlaneMode))
         nw = np.ones(orients.shape[0], np.float32)
         nw[0] = nw[3] = cfg.weightNormalX

