@@ -300,3 +300,28 @@ def test_normals_orientation_modes():
         posd, nn_idx, nn_valid, valid, mode=2, viewpoint=vp))[:n]
     tovp = np.asarray(vp)[None] - pos
     assert (np.einsum("nc,nc->n", v, tovp) >= 0).all()
+
+
+def test_reflectance_psnr_metric():
+    """Reflectance PSNR (reference PCCMetrics.cpp:218-227): symmetric NN
+    transfer of the 16-bit reflectance, exact on identical clouds and
+    finite/ordered under noise."""
+    from vpcc_tpu.ops.metrics import compute_metrics
+
+    rng = np.random.default_rng(4)
+    pos = np.unique(rng.integers(0, 128, (5000, 3), dtype=np.int32), axis=0)
+    refl = rng.integers(0, 65536, len(pos)).astype(np.uint16)
+
+    m_same = compute_metrics(
+        pos, None, pos, None, resolution=127, grid_bits=7,
+        src_refl=refl, rec_refl=refl,
+    )
+    assert m_same.reflectance_psnr == float("inf")
+
+    noisy = (refl.astype(np.int32) + rng.integers(-300, 301, len(pos))).clip(0, 65535).astype(np.uint16)
+    noisier = (refl.astype(np.int32) + rng.integers(-3000, 3001, len(pos))).clip(0, 65535).astype(np.uint16)
+    m1 = compute_metrics(pos, None, pos, None, resolution=127, grid_bits=7,
+                         src_refl=refl, rec_refl=noisy)
+    m2 = compute_metrics(pos, None, pos, None, resolution=127, grid_bits=7,
+                         src_refl=refl, rec_refl=noisier)
+    assert m1.reflectance_psnr > m2.reflectance_psnr > 0

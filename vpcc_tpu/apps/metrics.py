@@ -42,8 +42,13 @@ def main(argv=None) -> int:
             src_normals=nrm,
             grid_bits=cfg.geometryBitDepth3D,
             with_d2=True,
+            src_refl=src.reflectances,
+            rec_refl=rec.reflectances,
         )
-        print(f"frame {i}: {m.summary()}")
+        line = f"frame {i}: {m.summary()}"
+        if m.reflectance_psnr != float("inf"):
+            line += f"  R {m.reflectance_psnr:8.4f}"
+        print(line)
         agg.append(m)
     if agg:
         print(

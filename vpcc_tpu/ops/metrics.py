@@ -154,6 +154,8 @@ def compute_metrics(
     rec_normals: Optional[np.ndarray] = None,
     grid_bits: int = 10,
     with_d2: bool = False,
+    src_refl: Optional[np.ndarray] = None,
+    rec_refl: Optional[np.ndarray] = None,
 ) -> FrameMetrics:
     """Symmetric metrics between source and reconstructed clouds (host API,
     device compute). Positions (N,3) int; colors (N,3) uint8 or None.
@@ -200,6 +202,13 @@ def compute_metrics(
             return float("inf")
         return 10.0 * math.log10(factor * peak * peak / mse)
 
+    refl_psnr = float("inf")
+    if src_refl is not None and rec_refl is not None:
+        refl_psnr = psnr(
+            reflectance_mse(src_pos, src_refl, rec_pos, rec_refl, grid_bits),
+            65535.0,  # 16-bit reflectance peak (reference PCCMetrics.cpp:218-227)
+        )
+
     return FrameMetrics(
         c2c_mse=c2c,
         c2c_psnr=psnr(c2c, resolution, 3.0),
@@ -208,4 +217,36 @@ def compute_metrics(
         color_psnr=tuple(psnr(float(m), 1.0) for m in col),
         c2c_hausdorff=haus,
         c2c_hausdorff_psnr=psnr(haus, resolution, 3.0),
+        reflectance_psnr=refl_psnr,
+    )
+
+
+def reflectance_mse(src_pos, src_refl, rec_pos, rec_refl,
+                    grid_bits: int = 10) -> float:
+    """Symmetric nearest-neighbor reflectance MSE (reference
+    PCCMetrics.cpp:218-227 reflectance branch of computeMetric): each
+    point compares its 16-bit reflectance to its nearest neighbor's in
+    the other cloud; the worse direction wins."""
+    from vpcc_tpu.core.pointcloud import PAD_COORD, shape_bucket
+    from vpcc_tpu.ops import neighbors
+
+    def direction(pa, ra, pb, rb):
+        na = pa.shape[0]
+        cap_a, cap_b = shape_bucket(na), shape_bucket(pb.shape[0])
+        qp = np.full((cap_a, 3), PAD_COORD, np.int32)
+        qp[:na] = pa
+        tp = np.full((cap_b, 3), PAD_COORD, np.int32)
+        tp[: pb.shape[0]] = pb
+        idx, d2 = neighbors.nearest(
+            neighbors.build_grid(jnp.asarray(tp), grid_bits),
+            jnp.asarray(tp), jnp.asarray(qp), bucket=8,
+        )
+        idx = np.asarray(idx)[:na]
+        ok = np.asarray(d2)[:na] < int(neighbors.MAX_DIST2)
+        diff = ra.astype(np.float64) - rb[np.clip(idx, 0, len(rb) - 1)].astype(np.float64)
+        return float(np.mean(np.where(ok, diff, 0.0) ** 2))
+
+    return max(
+        direction(src_pos, src_refl, rec_pos, rec_refl),
+        direction(rec_pos, rec_refl, src_pos, src_refl),
     )
