@@ -198,3 +198,21 @@ def test_cu32_beats_two_level_on_smooth():
     m16 = ((np.asarray(r16)[0] - smooth) ** 2).mean()
     assert len(p32) < len(p16)
     assert m32 <= m16 * 1.1
+
+
+def test_sao_improves_and_round_trips():
+    """SAO (edge-offset, per 32x32 region) must round-trip bit-exactly
+    (decoder re-derives categories from the identical pre-SAO recon) and
+    reduce distortion at no material rate cost on edge-heavy content."""
+    rng = np.random.default_rng(6)
+    img = np.zeros((128, 128), np.int32)
+    # step edges in all four SAO directions + noise
+    img[:, 64:] = 180
+    img[64:, :] += 40
+    for i in range(0, 128, 16):
+        img[i : i + 8] += 25
+    img = np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.int32)
+
+    payload, rec = hevc.encode_planes([img], [34], [255])
+    dec = np.asarray(hevc.decode_planes(payload))
+    np.testing.assert_array_equal(np.asarray(rec), dec)

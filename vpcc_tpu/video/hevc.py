@@ -190,6 +190,109 @@ def _deblock(rec, qps, maxvals):
 
 
 # ---------------------------------------------------------------------------
+# SAO (sample-adaptive offset), edge-offset form, per 32x32 region.
+# HM applies SAO per CTB after deblocking (reference HM TComSampleAdaptiveOffset
+# via PCCHMLibVideoEncoderImpl); here the four EO classes are evaluated for
+# ALL regions at once as shifted-plane comparisons + per-region reductions,
+# the best class/offsets are chosen by exact delta-distortion RD, and the
+# decoder re-derives categories from the same pre-SAO reconstruction.
+
+_SAO_DIRS = ((0, 1), (1, 0), (1, 1), (1, -1))  # EO 0/90/135/45 neighbor axes
+SAO_OFF_MAX = 7
+SAO_REGION = 32
+
+
+def _sao_categories(rec, dy, dx):
+    """(P, H, W) int32 category in {0..4}: 1 = local min, 2 = concave edge,
+    0 = flat/monotone, 3 = convex edge, 4 = local max (HEVC EO classes),
+    computed against the (dy, dx) neighbor pair with edge padding."""
+    pad = jnp.pad(rec, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    a = pad[:, 1 + dy : rec.shape[1] + 1 + dy, 1 + dx : rec.shape[2] + 1 + dx]
+    b = pad[:, 1 - dy : rec.shape[1] + 1 - dy, 1 - dx : rec.shape[2] + 1 - dx]
+    s = jnp.sign(rec - a) + jnp.sign(rec - b)   # -2..2
+    return (s + 2).astype(jnp.int32)            # 0..4 (2 = flat)
+
+
+def _sao_search_apply(src, rec, lam, maxvals, weights):
+    """Choose per-region SAO (class + 4 offsets) by exact RD and apply it.
+    src/rec: (P, H, W) int32 with H, W % SAO_REGION == 0; weights: (P,H,W)
+    0/1 relevance (the occupancy-weighted RDO convention).  Returns
+    (rec_sao, sao_type (P,Ry,Rx) i8, sao_off (P,Ry,Rx,4) i8)."""
+    P, H, W = rec.shape
+    ry, rx = H // SAO_REGION, W // SAO_REGION
+    wf = weights.astype(jnp.float32)
+    diff = (src - rec).astype(jnp.float32) * wf
+
+    def region_sum(x):
+        return x.reshape(P, ry, SAO_REGION, rx, SAO_REGION).sum((2, 4))
+
+    best_gain = jnp.zeros((P, ry, rx), jnp.float32)
+    best_cls = jnp.zeros((P, ry, rx), jnp.int32)
+    best_off = jnp.zeros((P, ry, rx, 4), jnp.int32)
+    cats_all = []
+    for ci, (dy, dx) in enumerate(_SAO_DIRS):
+        cat = _sao_categories(rec, dy, dx)
+        cats_all.append(cat)
+        offs = []
+        gain = jnp.zeros((P, ry, rx), jnp.float32)
+        for k, c in enumerate((0, 1, 3, 4)):     # cats besides flat
+            m = (cat == c).astype(jnp.float32) * wf
+            n = region_sum(m)
+            s = region_sum(diff * m)
+            o = jnp.clip(
+                jnp.round(s / jnp.maximum(n, 1.0)), -SAO_OFF_MAX, SAO_OFF_MAX
+            )
+            # delta SSE = n*o^2 - 2*o*s  (negative = improvement)
+            gain = gain + n * o * o - 2.0 * o * s
+            offs.append(o.astype(jnp.int32))
+        off4 = jnp.stack(offs, -1)
+        # rate: ~3 type bits + 4x4-bit offsets
+        cost = gain + lam[:, None, None] * 19.0
+        better = cost < best_gain
+        best_gain = jnp.where(better, cost, best_gain)
+        best_cls = jnp.where(better, ci + 1, best_cls)
+        best_off = jnp.where(better[..., None], off4, best_off)
+
+    # apply the chosen class per region
+    cats = jnp.stack(cats_all, 0)                # (4, P, H, W)
+    cls_px = jnp.repeat(
+        jnp.repeat(best_cls, SAO_REGION, 1), SAO_REGION, 2
+    )                                             # (P, H, W)
+    cat_sel = jnp.take_along_axis(
+        cats, jnp.maximum(cls_px - 1, 0)[None], axis=0
+    )[0]
+    off_px = jnp.repeat(jnp.repeat(best_off, SAO_REGION, 1), SAO_REGION, 2)
+    # map cat {0,1,3,4} -> offset slot {0,1,2,3}; flat (2) -> 0 offset
+    slot = jnp.clip(jnp.where(cat_sel > 2, cat_sel - 1, cat_sel), 0, 3)
+    o_px = jnp.take_along_axis(off_px, slot[..., None], axis=-1)[..., 0]
+    o_px = jnp.where((cls_px > 0) & (cat_sel != 2), o_px, 0)
+    rec_sao = jnp.clip(rec + o_px, 0, maxvals[:, None, None])
+    best_off = jnp.where(best_cls[..., None] > 0, best_off, 0)
+    return rec_sao, best_cls.astype(jnp.int8), best_off.astype(jnp.int8)
+
+
+def _sao_apply(rec, sao_cls, sao_off, maxvals):
+    """Decoder-side SAO: identical category derivation + offset add."""
+    P, H, W = rec.shape
+    cats_all = jnp.stack(
+        [_sao_categories(rec, dy, dx) for dy, dx in _SAO_DIRS], 0
+    )
+    cls_px = jnp.repeat(
+        jnp.repeat(sao_cls.astype(jnp.int32), SAO_REGION, 1), SAO_REGION, 2
+    )
+    cat_sel = jnp.take_along_axis(
+        cats_all, jnp.maximum(cls_px - 1, 0)[None], axis=0
+    )[0]
+    off_px = jnp.repeat(
+        jnp.repeat(sao_off.astype(jnp.int32), SAO_REGION, 1), SAO_REGION, 2
+    )
+    slot = jnp.clip(jnp.where(cat_sel > 2, cat_sel - 1, cat_sel), 0, 3)
+    o_px = jnp.take_along_axis(off_px, slot[..., None], axis=-1)[..., 0]
+    o_px = jnp.where((cls_px > 0) & (cat_sel != 2), o_px, 0)
+    return jnp.clip(rec + o_px, 0, maxvals[:, None, None])
+
+
+# ---------------------------------------------------------------------------
 # Motion estimation (the HM motion-search equivalent, reference
 # PCCHMLibVideoEncoderImpl.cpp:92-197).  TPU-first: instead of HM's
 # sequential TZ search per block, ALL CUs evaluate ALL (2R+1)^2 candidate
@@ -855,11 +958,14 @@ def _build_encode32(P: int, H: int, W: int, deblock: bool,
         rec = _from_blocks(blk[:, :nb], Ht, Wt, CU32)
         if deblock:
             rec = _deblock(rec, qps, maxvals)
+        rec, sao_cls, sao_off = _sao_search_apply(
+            planes, rec, lam, maxvals, weights
+        )
         rec = _untile(rec, P, ty, tx)
         return (
             s32_out[:, :nb], m32_out[:, :nb], c32_out[:, :nb],
             s16_out[:, :nb], m_out[:, :nb], c16_out[:, :nb],
-            rec[:, :H, :W], mv.astype(jnp.int8),
+            rec[:, :H, :W], mv.astype(jnp.int8), sao_cls, sao_off,
         )
 
     return jax.jit(run)
@@ -917,7 +1023,8 @@ def _build_decode32(P: int, H: int, W: int, deblock: bool,
         inv_zz8 = jnp.asarray(np.argsort(tab.zigzag(SUB)).astype(np.int32))
         dq_tab = jnp.asarray(tab.DQ64)
 
-    def run(s32, m32, c32, s16, modes, c16, qps, refs, maxvals, mv):
+    def run(s32, m32, c32, s16, modes, c16, qps, refs, maxvals, mv,
+            sao_cls, sao_off):
         refs = refs.astype(jnp.int32)
         if (Hp, Wp) != (H, W):
             refs = jnp.pad(refs, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
@@ -1004,6 +1111,7 @@ def _build_decode32(P: int, H: int, W: int, deblock: bool,
         rec = _from_blocks(blk[:, :nb], Ht, Wt, CU32)
         if deblock:
             rec = _deblock(rec, qps, maxvals)
+        rec = _sao_apply(rec, sao_cls, sao_off, maxvals)
         rec = _untile(rec, P, ty, tx)
         return rec[:, :H, :W]
 
@@ -1188,11 +1296,11 @@ def encode_planes(
         fn = _build_encode32(
             P, H, W, deblock, has_occ, has_weight, motion, ty, tx
         )
-        s32, m32, c32, s16, modes, c16, rec, mvs = fn(
+        s32, m32, c32, s16, modes, c16, rec, mvs, sao_cls, sao_off = fn(
             planes, qps_a, refs_a, jnp.asarray(bool(has_ref)), mv_a, occ_a,
             w_a,
         )
-        for a in (s32, m32, c32, s16, modes, c16, mvs):
+        for a in (s32, m32, c32, s16, modes, c16, mvs, sao_cls, sao_off):
             a.copy_to_host_async()
         s32_h = np.asarray(s32).astype(np.int32)
         m32_h = np.asarray(m32).astype(np.int32)
@@ -1201,6 +1309,13 @@ def encode_planes(
         modes_h = np.asarray(modes).astype(np.int32)
         c16_h = np.asarray(c16).astype(np.int32)
         mv_h = np.asarray(mvs).astype(np.int32)
+        sao_h = np.concatenate(
+            [
+                np.asarray(sao_cls).astype(np.int32)[..., None],
+                np.asarray(sao_off).astype(np.int32),
+            ],
+            axis=-1,
+        )  # (PT, ry, rx, 5)
         nby, nbx = Hp // ty // CU32, Wp // tx // CU32
         flags = (
             (FLAG_INTER if has_ref else 0)
@@ -1236,6 +1351,15 @@ def encode_planes(
                 )
                 out += struct.pack("<I", len(mvblob))
                 out += mvblob
+            # SAO params (class + 4 offsets per 32x32 region), coded with
+            # the adaptive coefficient syntax (off regions are near-free)
+            flat = sao_h[sl].reshape(-1)
+            nb64 = (flat.size + 63) // 64
+            sao_pad = np.zeros((nb64, 64), np.int32)
+            sao_pad.reshape(-1)[: flat.size] = flat
+            sb = entropy.encode_coeffs(sao_pad)
+            out += struct.pack("<I", len(sb))
+            out += sb
         return bytes(out), rec
     Hp, Wp = -(-H // CU) * CU, -(-W // CU) * CU
     ty, tx = _tile_grid(Hp, Wp)
@@ -1357,6 +1481,9 @@ def _decode_planes32(payload, refs, H, W, P, flags, ty, tx):
     modes = np.zeros((P * T, nb, 4, 4), np.int8)
     c16 = np.zeros((P * T, nb, 4, CC), np.int16)
     mv = np.zeros((P * T, nb, 2), np.int8)
+    ry, rx = Hp // ty // SAO_REGION, Wp // tx // SAO_REGION
+    sao_cls = np.zeros((P * T, ry, rx), np.int8)
+    sao_off = np.zeros((P * T, ry, rx, 4), np.int8)
     for p in range(P):
         qps[p], maxvals[p] = struct.unpack("<BH", payload[pos : pos + 3])
         pos += 3
@@ -1390,6 +1517,15 @@ def _decode_planes32(payload, refs, H, W, P, flags, ty, tx):
                 payload[pos : pos + mvln], inter
             ).astype(np.int8).reshape(T, nb, 2)
             pos += mvln
+        (sln,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        n_sao = T * ry * rx * 5
+        sao_flat = entropy.decode_coeffs(
+            payload[pos : pos + sln], (n_sao + 63) // 64
+        ).reshape(-1)[:n_sao].reshape(T, ry, rx, 5)
+        pos += sln
+        sao_cls[sl] = sao_flat[..., 0].astype(np.int8)
+        sao_off[sl] = sao_flat[..., 1:].astype(np.int8)
     if flags & FLAG_INTER:
         refs_a = jnp.asarray(refs)
     else:
@@ -1399,6 +1535,7 @@ def _decode_planes32(payload, refs, H, W, P, flags, ty, tx):
         jnp.asarray(s32), jnp.asarray(m32), jnp.asarray(c32),
         jnp.asarray(s16), jnp.asarray(modes), jnp.asarray(c16),
         jnp.asarray(qps), refs_a, jnp.asarray(maxvals), jnp.asarray(mv),
+        jnp.asarray(sao_cls), jnp.asarray(sao_off),
     )
 
 
