@@ -65,17 +65,27 @@ def encode_level_geo(
     mesh: Optional[Mesh] = None,
     motion: Optional[bool] = None,  # default: MC iff refs present
 ):
-    """One level's geometry maps through the production wavefront builder,
-    frames batched on the plane axis and sharded over the mesh.  Returns
-    (split, modes, coeffs, rec, mvs) exactly as `hevc._build_encode` —
-    identical arrays to B sequential single-frame production calls."""
+    """One level's geometry maps through the production wavefront builder
+    (the three-level 32/16/8 quadtree when the bit depth allows, exactly
+    as encode_planes dispatches), frames batched on the plane axis and
+    sharded over the mesh.  Returns the builder's syntax arrays with the
+    reconstruction normalized to the LAST slot — identical arrays to B
+    sequential single-frame production calls."""
     B, H, W = geo_b.shape
     has_ref = refs_b is not None
     if motion is None:
         motion = has_ref
-    Hp, Wp = -(-H // hevc.CU) * hevc.CU, -(-W // hevc.CU) * hevc.CU
-    ty, tx = hevc._tile_grid(Hp, Wp)
-    fn = hevc._build_encode(B, H, W, False, True, True, motion, ty, tx)
+    # the same builder production's encode_planes dispatches (the
+    # three-level quadtree when the bit depth allows it)
+    if hevc.ENABLE_CU32 and maxval <= 1023:
+        Hp = -(-H // hevc.CU32) * hevc.CU32
+        Wp = -(-W // hevc.CU32) * hevc.CU32
+        ty, tx = hevc._tile_grid(Hp, Wp, cu=hevc.CU32)
+        fn = hevc._build_encode32(B, H, W, False, True, True, motion, ty, tx)
+    else:
+        Hp, Wp = -(-H // hevc.CU) * hevc.CU, -(-W // hevc.CU) * hevc.CU
+        ty, tx = hevc._tile_grid(Hp, Wp)
+        fn = hevc._build_encode(B, H, W, False, True, True, motion, ty, tx)
     refs_a = refs_b if has_ref else jnp.zeros((B, H, W), jnp.int32)
     qps_a = jnp.asarray(np.asarray(qps, np.int32))
     mv_a = jnp.full((B,), maxval, jnp.int32)
@@ -92,7 +102,11 @@ def encode_level_geo(
             jax.device_put(args[4], sh), jax.device_put(args[5], sh),
             jax.device_put(args[6], sh),
         )
-    return fn(*args)
+    outs = fn(*args)
+    # rec plane position differs between the 2-level (index 3) and
+    # 3-level (index 6) output tuples; normalize to (syntax..., rec last)
+    rec_idx = 6 if len(outs) >= 10 else 3
+    return tuple(a for i, a in enumerate(outs) if i != rec_idx) + (outs[rec_idx],)
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +306,7 @@ def run_gof_dryrun(n_devices: int, bits: int = 9, n_samples: int = 800_000,
                 ]
                 outs[key] = tuple(
                     jnp.concatenate([p[j] for p in per], axis=0)
-                    for j in range(5)
+                    for j in range(len(per[0]))
                 )
             else:
                 m = mesh_n if key == "n" and B % n == 0 else (
@@ -303,20 +317,19 @@ def run_gof_dryrun(n_devices: int, bits: int = 9, n_samples: int = 800_000,
                 outs[key] = encode_level_geo(
                     g_b, o_b, w_b, refs_b, qps, maxval, mesh=m,
                 )
-        names = ("split", "modes", "coeffs", "rec", "mvs")
         if "1" in outs:
-            for nm, a, b in zip(names, outs["n"], outs["1"]):
+            for j, (a, b) in enumerate(zip(outs["n"], outs["1"])):
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b),
-                    err_msg=f"level {lv} {nm}: N-device vs 1-device diverged",
+                    err_msg=f"level {lv} out[{j}]: N-device vs 1-device diverged",
                 )
-        for nm, a, b in zip(names, outs["n"], outs["p"]):
+        for j, (a, b) in enumerate(zip(outs["n"], outs["p"])):
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
-                err_msg=f"level {lv} {nm}: mesh vs production diverged",
+                err_msg=f"level {lv} out[{j}]: mesh vs production diverged",
             )
         for key in keys:
-            rec_h = np.asarray(outs[key][3])
+            rec_h = np.asarray(outs[key][-1])
             for i, f in enumerate(fr):
                 banks[key][f] = rec_h[i]
         # layer 1 (D1 from decoded D0, zero-MV inter) — production's
@@ -329,7 +342,7 @@ def run_gof_dryrun(n_devices: int, bits: int = 9, n_samples: int = 800_000,
                 mesh=(make_mesh(min(B, n)) if key == "n" else None),
                 motion=False,
             )
-            rec1_h = np.asarray(out1[3])
+            rec1_h = np.asarray(out1[-1])
             for i, f in enumerate(fr):
                 rec1_banks[key][f] = rec1_h[i]
 
