@@ -41,17 +41,19 @@ def test_bench_regime_rd_and_parity():
     assert r["points_per_frame"] >= 500_000, r
 
     r1, r3 = r["r1"], r["r3"]
-    # windows around the known-good curve (round 2: r1 y 33.9 @ 0.164 bpp,
-    # r3 y 37.4 @ 0.35; round 4 measured r1 34.2/0.166, r3 37.4/0.354)
-    assert r1["y_db"] >= 32.5, r1
-    assert r1["bpp"] <= 0.21, r1
-    assert r1["d1_db"] >= 63.5, r1
-    assert r3["y_db"] >= 36.0, r3
-    assert r3["bpp"] <= 0.42, r3
-    assert r3["d1_db"] >= 66.5, r3
+    # windows around the end-of-round-4 curve (measured: r1 y 33.9 @
+    # 0.127 bpp D1 64.7, r3 y 37.1 @ 0.270 D1 68.0) with ~0.6 dB / ~25%
+    # rate headroom — tight enough that losing any round-4 RD tool
+    # (32x32 CUs, SAO, RA GOP, group dilation) trips the gate
+    assert r1["y_db"] >= 33.0, r1
+    assert r1["bpp"] <= 0.17, r1
+    assert r1["d1_db"] >= 64.0, r1
+    assert r3["y_db"] >= 36.3, r3
+    assert r3["bpp"] <= 0.35, r3
+    assert r3["d1_db"] >= 67.3, r3
     # per-frame floor: no single broken frame hiding in the mean
-    assert r1["y_db_min"] >= 31.5, r1
-    assert r3["y_db_min"] >= 35.0, r3
+    assert r1["y_db_min"] >= 32.5, r1
+    assert r3["y_db_min"] >= 35.8, r3
 
     # decoded streams reproduce the encoder reconstruction exactly —
     # colors included (the round-3 suite checked positions only)
