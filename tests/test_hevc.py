@@ -165,7 +165,8 @@ def test_tiled_plane_parity():
     """Codec tiles (>=512px planes split into independent coding regions,
     hevc._tile_grid) must round-trip bit-exactly, with and without MC."""
     img = _test_image(512, 512)
-    assert hevc._tile_grid(512, 512) == (2, 2)  # tiling actually engages
+    ty, tx = hevc._tile_grid(512, 512)
+    assert ty > 1 and tx > 1  # tiling actually engages
     payload, rec = hevc.encode_planes([img], [30], [255])
     dec = np.asarray(hevc.decode_planes(payload))
     np.testing.assert_array_equal(np.asarray(rec), dec)

@@ -501,9 +501,9 @@ class Encoder:
                 g, occ=frame.occupancy,
                 layer_ref=geo_dec[0] if geo_dec else None,
                 weight=occ_rec,  # RDO cares only about point-generating px
-                qp_offset=qp_offset_geo, **kw,
+                qp_offset=qp_offset_geo, defer=True, **kw,
             )
-            geo_payloads.append(payload)
+            geo_payloads.append(payload)  # deferred finalize() callables
             geo_dec.append(dec)
         st.video_s = time.perf_counter() - t
 
@@ -636,9 +636,9 @@ class Encoder:
                 img, occ=None,  # pre-filled above
                 layer_ref=attr_dec[0] if attr_dec else None,
                 weight=occ_rec,
-                qp_offset=qp_offset, **kw,
+                qp_offset=qp_offset, defer=True, **kw,
             )
-            attr_payloads.append(payload)
+            attr_payloads.append(payload)  # deferred finalize() callables
             attr_dec.append(dec)
         # encoder-side recon colors = decoded attribute at each point's pixel
         col_dec = pipeline.gather_decoded_colors(
@@ -646,6 +646,11 @@ class Encoder:
             jnp.asarray(attr_dec[-1]),
         )
         col_dec = pipeline.apply_color_smoothing_device(recon, col_dec, cfg)
+        # every device program of the frame is queued: resolve the deferred
+        # payload finalizers now — their device->host syntax downloads have
+        # been riding under the attribute/recon dispatches above
+        geo_payloads = [p() for p in geo_payloads]
+        attr_payloads = [p() for p in attr_payloads]
         rec_pos, rec_col_dec = pipeline.download_recon(recon, col_dec, bits)
         st.video_s += time.perf_counter() - t
 

@@ -159,25 +159,32 @@ def _fwd_blend(src_col_u8, idx, d2, gd2_fwd, cd2_fwd, doff_fwd):
     return jnp.sum(cols * w[..., None], axis=1) / wsum
 
 
-@jax.jit
-def _bwd_and_merge(src_col_u8, src_valid, tgt_cap_arr, tidx, td2,
-                   exact_idx, has_exact, iidx, fwd_cols, gd2_bwd):
-    """Backward splat from ALL valid sources (matching `_blend` exactly —
-    a matched source's nearest target is USUALLY its exact twin, but the
-    bounded candidate window can truncate the twin away on dense clouds,
-    so skipping matched sources is NOT bit-exact; found via the multichip
-    parity harness, round 4), then the final merge: exact / fwd /
-    0.5*(fwd+bwd).  The nearest-target sweep (tidx, td2) runs standalone
-    outside this jit (see `_compact_gather` for why)."""
-    nt = tgt_cap_arr.shape[0]
+@functools.partial(jax.jit, static_argnames=("nt",))
+def _bwd_and_merge_compact(src_col_u8, uidx, tidx, td2,
+                           exact_idx, has_exact, iidx, fwd_cols, gd2_bwd,
+                           nt: int):
+    """Backward splat from the COMPACTED unmatched sources only (uidx maps
+    compact rows -> source indices; invalid slots have uidx == Ns).  A
+    matched source's splat can only land on a target that keeps its exact
+    color verbatim (its zero-distance twin), so restricting the sweep to
+    unmatched sources changes nothing the merge reads — and it cuts the
+    nearest-target sweep from all Ns sources to the small unmatched
+    remainder.  Then the final merge: exact / fwd / 0.5*(fwd+bwd).  The
+    nearest-target sweep (tidx, td2) runs standalone outside this jit (see
+    `_compact_gather` for why)."""
+    ns = src_col_u8.shape[0]
     svalid = (
         (td2 < neighbors.MAX_DIST2)
         & (td2.astype(jnp.float32) <= gd2_bwd)
-        & src_valid
+        & (uidx < ns)
     )
-    ucols = src_col_u8.astype(jnp.float32)
-    acc = jnp.zeros((nt, 3), jnp.float32).at[tidx].add(ucols * svalid[:, None])
-    cnt = jnp.zeros((nt,), jnp.float32).at[tidx].add(svalid.astype(jnp.float32))
+    ucols = src_col_u8[jnp.minimum(uidx, ns - 1)].astype(jnp.float32)
+    acc = jnp.zeros((nt, 3), jnp.float32).at[tidx].add(
+        ucols * svalid[:, None], mode="drop"
+    )
+    cnt = jnp.zeros((nt,), jnp.float32).at[tidx].add(
+        svalid.astype(jnp.float32), mode="drop"
+    )
     bwd = acc / jnp.maximum(cnt, 1.0)[:, None]
 
     fwd_full = jnp.zeros((nt, 3), jnp.float32).at[iidx].set(
@@ -229,13 +236,18 @@ def transfer_colors_compact(
         jnp.float32(max_color_d2_fwd), jnp.float32(dist_offset_fwd),
     )
     if k_bwd > 0:
+        # backward sweep over the UNMATCHED sources only: a matched
+        # source's nearest target is its zero-distance exact twin, which
+        # keeps the exact color verbatim and never reads the splat
+        ucap = shape_bucket(n_un)
+        uidx, uq = _compact_gather(src_pos, unmatched, ucap)
         grid_t = neighbors.build_grid(tgt_pos, grid_bits)
-        tidx, td2 = neighbors.nearest(grid_t, tgt_pos, src_pos, bucket=6)
+        tidx, td2 = neighbors.nearest(grid_t, tgt_pos, uq, bucket=6)
         return (
-            _bwd_and_merge(
-                src_col_u8, src_valid, tgt_pos, tidx, td2,
+            _bwd_and_merge_compact(
+                src_col_u8, uidx, tidx, td2,
                 exact_idx, has_exact, iidx, fwd_cols,
-                jnp.float32(max_geom_d2_bwd),
+                jnp.float32(max_geom_d2_bwd), nt=tgt_pos.shape[0],
             ),
             (exact_idx, has_exact),
         )
@@ -273,12 +285,21 @@ def _blend(src_pos, src_col, src_count, tgt_pos, exact_idx, has_exact,
     out = jnp.sum(cols * w[..., None], axis=1) / wsum
     out = jnp.where(has_exact, src_col[exact_idx].astype(jnp.float32), out)
 
-    # backward splat: every source point pushes its color to its nearest
-    # target (reference bwd pass of transferColors), geometry-gated
+    # backward splat: every UNMATCHED source point pushes its color to its
+    # nearest target (reference bwd pass of transferColors), geometry-gated.
+    # Matched sources are excluded: their nearest target is the exact twin,
+    # which keeps the exact color verbatim and never reads the splat (and a
+    # candidate-window-truncated nearest would pollute an unrelated target
+    # the reference's true KD-tree sweep never touches) — this matches the
+    # compact path's `_bwd_and_merge_compact` bit-exactly.
+    matched_src = (
+        jnp.zeros((src_pos.shape[0],), bool).at[exact_idx].max(has_exact[:, 0])
+    )
     svalid = (
         (td2 < neighbors.MAX_DIST2)
         & (td2.astype(jnp.float32) <= gd2_bwd)
         & (jnp.arange(src_pos.shape[0]) < src_count)
+        & ~matched_src
     )
     nt = tgt_pos.shape[0]
     acc = jnp.zeros((nt, 3), jnp.float32).at[tidx].add(

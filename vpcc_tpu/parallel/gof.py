@@ -78,13 +78,10 @@ def encode_level_geo(
     # the same builder production's encode_planes dispatches (the
     # three-level quadtree when the bit depth allows it)
     if hevc.ENABLE_CU32 and maxval <= 1023:
-        Hp = -(-H // hevc.CU32) * hevc.CU32
-        Wp = -(-W // hevc.CU32) * hevc.CU32
-        ty, tx = hevc._tile_grid(Hp, Wp, cu=hevc.CU32)
+        ty, tx = hevc._tile_grid(H, W, cu=hevc.CU32)
         fn = hevc._build_encode32(B, H, W, False, True, True, motion, ty, tx)
     else:
-        Hp, Wp = -(-H // hevc.CU) * hevc.CU, -(-W // hevc.CU) * hevc.CU
-        ty, tx = hevc._tile_grid(Hp, Wp)
+        ty, tx = hevc._tile_grid(H, W)
         fn = hevc._build_encode(B, H, W, False, True, True, motion, ty, tx)
     refs_a = refs_b if has_ref else jnp.zeros((B, H, W), jnp.int32)
     qps_a = jnp.asarray(np.asarray(qps, np.int32))

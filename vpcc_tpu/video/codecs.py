@@ -82,7 +82,7 @@ class GeometrySubstreamEncoder:
 
     def encode(self, geo: np.ndarray, occ=None, force_intra: bool = False,
                layer_ref=None, weight=None, temporal_ref=_UNSET,
-               qp_offset: int = 0):
+               qp_offset: int = 0, defer: bool = False):
         """Returns (payload, decoded uint16 plane).  `layer_ref` = decoded
         layer-0 map enables inter-layer delta coding (D1 differs from D0 in
         few pixels; reference codes D1 as a delta map when absoluteD1=0,
@@ -90,7 +90,8 @@ class GeometrySubstreamEncoder:
         occupancy mask for point-relevance-weighted RDO.  `temporal_ref`
         overrides the implicit previous-frame reference (hierarchical GOPs
         pass the decoded tree-parent map; None forces intra).  `qp_offset`
-        = hierarchical-level QP cascade."""
+        = hierarchical-level QP cascade.  defer=True returns a finalize()
+        callable in the payload slot (hevc.encode_planes defer)."""
         from vpcc_tpu.video import intra
 
         cfg = self.cfg
@@ -105,7 +106,7 @@ class GeometrySubstreamEncoder:
                 )
             else:
                 payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(geo)
-            return payload, geo
+            return ((lambda: payload) if defer else payload), geo
         import jax.numpy as jnp
         from vpcc_tpu.video import hevc
 
@@ -125,14 +126,15 @@ class GeometrySubstreamEncoder:
             # temporal P-frame: motion-compensated block matching
             ref = t_ref
             motion = True
-        payload, rec = hevc.encode_planes(
+        fin, rec = hevc.encode_planes(
             jnp.asarray(geo)[None], [min(cfg.geometryQP + qp_offset, 51)],
             [maxval],
             refs=None if ref is None else ref[None],
-            occ=occ, deblock=False, weight=weight, motion=motion,
+            occ=occ, deblock=False, weight=weight, motion=motion, defer=True,
         )
         self.ref = rec[0]
-        return bytes([v3c.CODEC_TPU_HEVC]) + payload, rec[0].astype(jnp.uint16)
+        wrapped = lambda: bytes([v3c.CODEC_TPU_HEVC]) + fin()
+        return (wrapped if defer else wrapped()), rec[0].astype(jnp.uint16)
 
 
 class GeometrySubstreamDecoder:
@@ -177,9 +179,9 @@ class AttributeSubstreamEncoder:
 
     def encode(self, attr: np.ndarray, occ=None, force_intra: bool = False,
                layer_ref=None, weight=None, temporal_ref=_UNSET,
-               qp_offset: int = 0):
-        """Returns (payload, decoded RGB uint8).  temporal_ref/qp_offset:
-        see GeometrySubstreamEncoder.encode."""
+               qp_offset: int = 0, defer: bool = False):
+        """Returns (payload, decoded RGB uint8).  temporal_ref/qp_offset/
+        defer: see GeometrySubstreamEncoder.encode."""
         from vpcc_tpu.video import intra
 
         cfg = self.cfg
@@ -194,7 +196,7 @@ class AttributeSubstreamEncoder:
                 )
             else:
                 payload = bytes([v3c.CODEC_LOSSLESS_ZLIB]) + lossless.encode_plane(attr)
-            return payload, attr
+            return ((lambda: payload) if defer else payload), attr
         from vpcc_tpu.video import hevc
 
         t_refs = self.refs if temporal_ref is _UNSET else temporal_ref
@@ -212,12 +214,13 @@ class AttributeSubstreamEncoder:
             # temporal P-frame: motion-compensated block matching
             refs = t_refs
             motion = True
-        payload, dec_rgb, new_refs = hevc.encode_rgb(
+        fin, dec_rgb, new_refs = hevc.encode_rgb(
             attr, qp=min(cfg.attributeQP + qp_offset, 51), occ=occ,
-            refs=refs, weight=weight, motion=motion,
+            refs=refs, weight=weight, motion=motion, defer=True,
         )
         self.refs = new_refs
-        return bytes([v3c.CODEC_TPU_HEVC]) + payload, dec_rgb
+        wrapped = lambda: bytes([v3c.CODEC_TPU_HEVC]) + fin()
+        return (wrapped if defer else wrapped()), dec_rgb
 
 
 class AttributeSubstreamDecoder:

@@ -567,20 +567,29 @@ def _pad_rows(x, fill):
     return jnp.concatenate([x, extra], axis=1)
 
 
-def _tile_grid(H: int, W: int, min_side: int = 256, cu: int = CU):
-    """(ty, tx) codec-tile split for an (H, W) plane: the largest power-of-2
-    split keeping every tile >= min_side on each axis and CU-aligned.
+def _padded_dims(H: int, W: int, ty: int, tx: int, cu: int):
+    """Plane dims padded so each axis splits into ty/tx equal CU-aligned
+    tiles (the builders pad with edge replication; the padding is cropped
+    from the returned reconstruction)."""
+    return -(-H // (ty * cu)) * ty * cu, -(-W // (tx * cu)) * tx * cu
+
+
+def _tile_grid(H: int, W: int, min_side: int = 192, cu: int = CU):
+    """(ty, tx) codec-tile split for an (H, W) plane: tiles of ~min_side
+    pixels per axis (the builders pad the plane up to a ty*cu multiple).
 
     Tiles are independent coding regions (the HEVC tile analogue): the
     wavefront scan length shrinks by ~the split factor while every scan
     step batches all tiles — the codec's latency-bound inner loop becomes
-    MXU/VPU-bound instead.  Prediction/deblocking never cross tile edges,
-    so encoder and decoder stay bit-exact per tile."""
+    MXU/VPU-bound instead (measured on v5e: an 11-step 56-tile split of a
+    1408x1280 plane runs the scan ~1.4x faster than the 20-step 16-tile
+    split, and chroma planes gain more).  Prediction/deblocking never
+    cross tile edges, so encoder and decoder stay bit-exact per tile."""
+    target_cus = max(min_side // cu, 2)
+
     def split(n):
-        t = 1
-        while t < 8 and n % (2 * t * cu) == 0 and n // (2 * t) >= min_side:
-            t *= 2
-        return t
+        cus = -(-n // cu)
+        return max(1, min((cus + target_cus - 1) // target_cus, 16))
 
     return split(H), split(W)
 
@@ -660,9 +669,7 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
     # invoked inside an outer trace (the lru_cache would otherwise
     # leak tracers into later calls)
     with jax.ensure_compile_time_eval():
-        Hp = -(-H // CU) * CU
-        Wp = -(-W // CU) * CU
-        assert Hp % ty == 0 and Wp % tx == 0, (Hp, Wp, ty, tx)
+        Hp, Wp = _padded_dims(H, W, ty, tx, CU)
         Ht, Wt = Hp // ty, Wp // tx            # per-tile dims
         PT = P * ty * tx                       # tile-expanded plane count
         nby, nbx = Ht // CU, Wt // CU
@@ -794,9 +801,7 @@ def _build_encode32(P: int, H: int, W: int, deblock: bool,
     CUs; each step evaluates the whole-32 candidate against the four
     16-quadrants coded with the full two-level machinery (_code_cu16)."""
     with jax.ensure_compile_time_eval():
-        Hp = -(-H // CU32) * CU32
-        Wp = -(-W // CU32) * CU32
-        assert Hp % ty == 0 and Wp % tx == 0, (Hp, Wp, ty, tx)
+        Hp, Wp = _padded_dims(H, W, ty, tx, CU32)
         Ht, Wt = Hp // ty, Wp // tx
         PT = P * ty * tx
         nby, nbx = Ht // CU32, Wt // CU32
@@ -1007,9 +1012,7 @@ def _decode_cu16(ref16, up, upleft, upright, left, initc, spl, mode16,
 def _build_decode32(P: int, H: int, W: int, deblock: bool,
                     motion: bool = False, ty: int = 1, tx: int = 1):
     with jax.ensure_compile_time_eval():
-        Hp = -(-H // CU32) * CU32
-        Wp = -(-W // CU32) * CU32
-        assert Hp % ty == 0 and Wp % tx == 0, (Hp, Wp, ty, tx)
+        Hp, Wp = _padded_dims(H, W, ty, tx, CU32)
         Ht, Wt = Hp // ty, Wp // tx
         PT = P * ty * tx
         nby, nbx = Ht // CU32, Wt // CU32
@@ -1125,9 +1128,7 @@ def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False,
     # invoked inside an outer trace (the lru_cache would otherwise
     # leak tracers into later calls)
     with jax.ensure_compile_time_eval():
-        Hp = -(-H // CU) * CU
-        Wp = -(-W // CU) * CU
-        assert Hp % ty == 0 and Wp % tx == 0, (Hp, Wp, ty, tx)
+        Hp, Wp = _padded_dims(H, W, ty, tx, CU)
         Ht, Wt = Hp // ty, Wp // tx
         PT = P * ty * tx
         nby, nbx = Ht // CU, Wt // CU
@@ -1249,8 +1250,15 @@ def encode_planes(
     deblock: bool = True,
     weight=None,
     motion: bool = False,
+    defer: bool = False,
 ) -> Tuple[bytes, jax.Array]:
     """Encode a (P, H, W) stack of integer planes sharing one shape.
+
+    defer=True returns (finalize, rec) instead of (payload, rec): the
+    device work is dispatched and the syntax downloads started, but the
+    host-side blocking download + entropy coding runs only when
+    `finalize()` is called — queue the rest of the frame's device work
+    first and the slow device->host tunnel rides under it.
 
     qps/maxvals: per-plane int lists.  refs: optional (P, H, W) int32
     previous reconstructions (enables the inter mode).  motion: run the
@@ -1291,8 +1299,8 @@ def encode_planes(
     # matmul bound allows it at n=32 (sums <= 2*32*maxval < 2^16)
     use32 = ENABLE_CU32 and max(int(m) for m in maxvals) <= 1023
     if use32:
-        Hp, Wp = -(-H // CU32) * CU32, -(-W // CU32) * CU32
-        ty, tx = _tile_grid(Hp, Wp, cu=CU32)
+        ty, tx = _tile_grid(H, W, cu=CU32)
+        Hp, Wp = _padded_dims(H, W, ty, tx, CU32)
         fn = _build_encode32(
             P, H, W, deblock, has_occ, has_weight, motion, ty, tx
         )
@@ -1302,109 +1310,127 @@ def encode_planes(
         )
         for a in (s32, m32, c32, s16, modes, c16, mvs, sao_cls, sao_off):
             a.copy_to_host_async()
-        s32_h = np.asarray(s32).astype(np.int32)
-        m32_h = np.asarray(m32).astype(np.int32)
-        c32_h = np.asarray(c32).astype(np.int32)
-        s16_h = np.asarray(s16).astype(np.int32)
-        modes_h = np.asarray(modes).astype(np.int32)
-        c16_h = np.asarray(c16).astype(np.int32)
-        mv_h = np.asarray(mvs).astype(np.int32)
-        sao_h = np.concatenate(
-            [
-                np.asarray(sao_cls).astype(np.int32)[..., None],
-                np.asarray(sao_off).astype(np.int32),
-            ],
-            axis=-1,
-        )  # (PT, ry, rx, 5)
-        nby, nbx = Hp // ty // CU32, Wp // tx // CU32
-        flags = (
-            (FLAG_INTER if has_ref else 0)
-            | (FLAG_DEBLOCK if deblock else 0)
-            | (FLAG_MC if motion else 0)
-            | FLAG_CU32
-        )
-        T = ty * tx
-        out = bytearray()
-        out += struct.pack("<HHBBBB", H, W, P, flags, ty, tx)
-        for p in range(P):
-            out += struct.pack("<BH", int(qps[p]), int(maxvals[p]))
-            sl = slice(p * T, (p + 1) * T)
-            blob = entropy.encode_hevc32_plane(
-                T * nby, nbx,
-                s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
-                c32_h[sl].reshape(-1, CC32),
-                s16_h[sl].reshape(-1, 4), modes_h[sl].reshape(-1, 4, 4)[:, :, 0],
-                c16_h[sl].reshape(-1, 4, CC),
-                modes_h[sl].reshape(-1, 4, 4),
-                c16_h[sl].reshape(-1, 4, 4, SUB * SUB),
+
+        def finalize() -> bytes:
+            # the host->device downloads above are already in flight; this
+            # closure blocks on them and runs the host entropy coder — with
+            # defer=True the caller invokes it AFTER queueing the frame's
+            # remaining device work, hiding the slow tunnel behind compute
+            s32_h = np.asarray(s32).astype(np.int32)
+            m32_h = np.asarray(m32).astype(np.int32)
+            c32_h = np.asarray(c32).astype(np.int32)
+            s16_h = np.asarray(s16).astype(np.int32)
+            modes_h = np.asarray(modes).astype(np.int32)
+            c16_h = np.asarray(c16).astype(np.int32)
+            mv_h = np.asarray(mvs).astype(np.int32)
+            sao_h = np.concatenate(
+                [
+                    np.asarray(sao_cls).astype(np.int32)[..., None],
+                    np.asarray(sao_off).astype(np.int32),
+                ],
+                axis=-1,
+            )  # (PT, ry, rx, 5)
+            nby, nbx = Hp // ty // CU32, Wp // tx // CU32
+            flags = (
+                (FLAG_INTER if has_ref else 0)
+                | (FLAG_DEBLOCK if deblock else 0)
+                | (FLAG_MC if motion else 0)
+                | FLAG_CU32
             )
-            out += struct.pack("<I", len(blob))
-            out += blob
-            if motion:
-                mvblob = entropy.encode_mvs(
-                    _inter_flags32(
-                        s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
-                        s16_h[sl].reshape(-1, 4),
-                        modes_h[sl].reshape(-1, 4, 4),
-                    ),
-                    mv_h[sl].reshape(-1, 2),
+            T = ty * tx
+            out = bytearray()
+            out += struct.pack("<HHBBBB", H, W, P, flags, ty, tx)
+            for p in range(P):
+                out += struct.pack("<BH", int(qps[p]), int(maxvals[p]))
+                sl = slice(p * T, (p + 1) * T)
+                blob = entropy.encode_hevc32_plane(
+                    T * nby, nbx,
+                    s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
+                    c32_h[sl].reshape(-1, CC32),
+                    s16_h[sl].reshape(-1, 4),
+                    modes_h[sl].reshape(-1, 4, 4)[:, :, 0],
+                    c16_h[sl].reshape(-1, 4, CC),
+                    modes_h[sl].reshape(-1, 4, 4),
+                    c16_h[sl].reshape(-1, 4, 4, SUB * SUB),
                 )
-                out += struct.pack("<I", len(mvblob))
-                out += mvblob
-            # SAO params (class + 4 offsets per 32x32 region), coded with
-            # the adaptive coefficient syntax (off regions are near-free)
-            flat = sao_h[sl].reshape(-1)
-            nb64 = (flat.size + 63) // 64
-            sao_pad = np.zeros((nb64, 64), np.int32)
-            sao_pad.reshape(-1)[: flat.size] = flat
-            sb = entropy.encode_coeffs(sao_pad)
-            out += struct.pack("<I", len(sb))
-            out += sb
-        return bytes(out), rec
-    Hp, Wp = -(-H // CU) * CU, -(-W // CU) * CU
-    ty, tx = _tile_grid(Hp, Wp)
+                out += struct.pack("<I", len(blob))
+                out += blob
+                if motion:
+                    mvblob = entropy.encode_mvs(
+                        _inter_flags32(
+                            s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
+                            s16_h[sl].reshape(-1, 4),
+                            modes_h[sl].reshape(-1, 4, 4),
+                        ),
+                        mv_h[sl].reshape(-1, 2),
+                    )
+                    out += struct.pack("<I", len(mvblob))
+                    out += mvblob
+                # SAO params (class + 4 offsets per 32x32 region), coded
+                # with the adaptive coefficient syntax (off regions are
+                # near-free)
+                flat = sao_h[sl].reshape(-1)
+                nb64 = (flat.size + 63) // 64
+                sao_pad = np.zeros((nb64, 64), np.int32)
+                sao_pad.reshape(-1)[: flat.size] = flat
+                sb = entropy.encode_coeffs(sao_pad)
+                out += struct.pack("<I", len(sb))
+                out += sb
+            return bytes(out)
+
+        if defer:
+            return finalize, rec
+        return finalize(), rec
+    ty, tx = _tile_grid(H, W)
+    Hp, Wp = _padded_dims(H, W, ty, tx, CU)
     fn = _build_encode(P, H, W, deblock, has_occ, has_weight, motion, ty, tx)
     split, modes, coeffs, rec, mvs = fn(
         planes, qps_a, refs_a, jnp.asarray(bool(has_ref)), mv_a, occ_a, w_a
     )
     for a in (split, modes, coeffs, mvs):
         a.copy_to_host_async()
-    split_h = np.asarray(split).astype(np.int32)
-    modes_h = np.asarray(modes).astype(np.int32)
-    coeff_h = np.asarray(coeffs).astype(np.int32)
-    mv_h = np.asarray(mvs).astype(np.int32)
-    nby, nbx = Hp // ty // CU, Wp // tx // CU       # per codec tile
-    flags = (
-        (FLAG_INTER if has_ref else 0)
-        | (FLAG_DEBLOCK if deblock else 0)
-        | (FLAG_MC if motion else 0)
-    )
-    T = ty * tx
-    out = bytearray()
-    out += struct.pack("<HHBBBB", H, W, P, flags, ty, tx)
-    for p in range(P):
-        out += struct.pack("<BH", int(qps[p]), int(maxvals[p]))
-        # ONE entropy blob per plane: the plane's tiles stack vertically
-        # into a (T*nby, nbx) virtual CU grid so the adaptive contexts are
-        # SHARED across tiles (tiles exist for device-side wavefront
-        # parallelism only; per-tile context resets cost ~10% rate)
-        sl = slice(p * T, (p + 1) * T)
-        split_cat = split_h[sl].reshape(-1)
-        modes_cat = modes_h[sl].reshape(-1, 4)
-        coeff_cat = coeff_h[sl].reshape(-1, CU * CU)
-        blob = entropy.encode_hevc_plane(
-            T * nby, nbx, split_cat, modes_cat[:, 0], coeff_cat,
-            modes_cat, coeff_cat.reshape(-1, 4, SUB * SUB),
+
+    def finalize() -> bytes:
+        split_h = np.asarray(split).astype(np.int32)
+        modes_h = np.asarray(modes).astype(np.int32)
+        coeff_h = np.asarray(coeffs).astype(np.int32)
+        mv_h = np.asarray(mvs).astype(np.int32)
+        nby, nbx = Hp // ty // CU, Wp // tx // CU       # per codec tile
+        flags = (
+            (FLAG_INTER if has_ref else 0)
+            | (FLAG_DEBLOCK if deblock else 0)
+            | (FLAG_MC if motion else 0)
         )
-        out += struct.pack("<I", len(blob))
-        out += blob
-        if motion:
-            mvblob = entropy.encode_mvs(
-                _inter_flags(split_cat, modes_cat), mv_h[sl].reshape(-1, 2)
+        T = ty * tx
+        out = bytearray()
+        out += struct.pack("<HHBBBB", H, W, P, flags, ty, tx)
+        for p in range(P):
+            out += struct.pack("<BH", int(qps[p]), int(maxvals[p]))
+            # ONE entropy blob per plane: the plane's tiles stack vertically
+            # into a (T*nby, nbx) virtual CU grid so the adaptive contexts
+            # are SHARED across tiles (tiles exist for device-side wavefront
+            # parallelism only; per-tile context resets cost ~10% rate)
+            sl = slice(p * T, (p + 1) * T)
+            split_cat = split_h[sl].reshape(-1)
+            modes_cat = modes_h[sl].reshape(-1, 4)
+            coeff_cat = coeff_h[sl].reshape(-1, CU * CU)
+            blob = entropy.encode_hevc_plane(
+                T * nby, nbx, split_cat, modes_cat[:, 0], coeff_cat,
+                modes_cat, coeff_cat.reshape(-1, 4, SUB * SUB),
             )
-            out += struct.pack("<I", len(mvblob))
-            out += mvblob
-    return bytes(out), rec
+            out += struct.pack("<I", len(blob))
+            out += blob
+            if motion:
+                mvblob = entropy.encode_mvs(
+                    _inter_flags(split_cat, modes_cat), mv_h[sl].reshape(-1, 2)
+                )
+                out += struct.pack("<I", len(mvblob))
+                out += mvblob
+        return bytes(out)
+
+    if defer:
+        return finalize, rec
+    return finalize(), rec
 
 
 def decode_planes(payload: bytes, refs=None) -> jax.Array:
@@ -1416,8 +1442,7 @@ def decode_planes(payload: bytes, refs=None) -> jax.Array:
         raise ValueError("inter-coded payload requires refs")
     if flags & FLAG_CU32:
         return _decode_planes32(payload, refs, H, W, P, flags, ty, tx)
-    Hp = -(-H // CU) * CU
-    Wp = -(-W // CU) * CU
+    Hp, Wp = _padded_dims(H, W, ty, tx, CU)
     nby, nbx = Hp // ty // CU, Wp // tx // CU
     nb = nby * nbx
     T = ty * tx
@@ -1467,8 +1492,7 @@ def decode_planes(payload: bytes, refs=None) -> jax.Array:
 def _decode_planes32(payload, refs, H, W, P, flags, ty, tx):
     motion = bool(flags & FLAG_MC)
     pos = 8
-    Hp = -(-H // CU32) * CU32
-    Wp = -(-W // CU32) * CU32
+    Hp, Wp = _padded_dims(H, W, ty, tx, CU32)
     nby, nbx = Hp // ty // CU32, Wp // tx // CU32
     nb = nby * nbx
     T = ty * tx
@@ -1588,12 +1612,13 @@ def rgb_refs(rgb):
 
 
 def encode_rgb(attr, qp: int, occ=None, refs=None, deblock: bool = True,
-               weight=None, motion: bool = False):
+               weight=None, motion: bool = False, defer: bool = False):
     """(H, W, 3) RGB -> (payload, decoded RGB uint8 ON DEVICE, refs).
     refs = (y_recon (1,H,W), c_recon (2,H/2,W/2)) from the previous frame
     enables the inter mode (motion=True adds the block-matching MV search).
     weight: (H, W) relevance mask for occupancy-weighted RDO
-    (see encode_planes)."""
+    (see encode_planes).  defer=True returns a finalize() in the payload
+    slot (see encode_planes)."""
     occ_d = None if occ is None else jnp.asarray(occ)
     y, cb, cr = _rgb_to_int_planes(jnp.asarray(attr), occ_d)
     cqp = min(qp + 3, 51)
@@ -1605,15 +1630,21 @@ def encode_rgb(attr, qp: int, occ=None, refs=None, deblock: bool = True,
         wy = jnp.asarray(weight).astype(jnp.int32)
         h, w = wy.shape
         wc = wy.reshape(h // 2, 2, w // 2, 2).max((1, 3))
-    py, recy = encode_planes(y[None], [qp], [255], refs=ry, deblock=deblock,
-                             weight=wy, motion=motion)
-    pc, recc = encode_planes(
+    fy, recy = encode_planes(y[None], [qp], [255], refs=ry, deblock=deblock,
+                             weight=wy, motion=motion, defer=True)
+    fc, recc = encode_planes(
         jnp.stack([cb, cr]), [cqp, cqp], [255, 255], refs=rc, deblock=deblock,
-        weight=wc, motion=motion,
+        weight=wc, motion=motion, defer=True,
     )
-    payload = struct.pack("<II", len(py), len(pc)) + py + pc
     rgb = _int_planes_to_rgb(recy[0], recc[0], recc[1])
-    return payload, rgb, (recy, recc)
+
+    def finalize() -> bytes:
+        py, pc = fy(), fc()
+        return struct.pack("<II", len(py), len(pc)) + py + pc
+
+    if defer:
+        return finalize, rgb, (recy, recc)
+    return finalize(), rgb, (recy, recc)
 
 
 def peek_rgb_dims(payload: bytes) -> Tuple[int, int]:
