@@ -132,3 +132,35 @@ def test_pack_tetris_roundtrip_and_density():
     pf = mk_patches()
     wf, hf = packing.pack_flexible(pf, cfg)
     assert ht <= hf * 2, (ht, hf)
+
+
+def test_ignored_option_report():
+    """Unimplemented CTC keys must be reported, not silently no-op'd
+    (reference: program-options-lite warns on unknown options)."""
+    from vpcc_tpu.utils.config import VPCCConfig
+
+    cfg = VPCCConfig()
+    cfg.set_option("levelOfDetailX", "2")
+    cfg.set_option("colorSpaceConversionConfig", "x.cfg")  # external-tool path
+    msgs = []
+    ignored = cfg.report_ignored(log=msgs.append)
+    assert ignored == ["levelOfDetailX"]
+    assert "levelOfDetailX=2" in msgs[0]
+    # a clean config stays silent
+    assert VPCCConfig().report_ignored(log=msgs.append) == []
+
+
+def test_full_level_tables():
+    """All six V3C levels (Tables A-5/A-6) with static + per-second checks
+    (reference: PCCConformance.cpp:210-307, PCCConfigurationFileParser.h:88)."""
+    from vpcc_tpu import conformance as c
+
+    assert sorted(c.LEVEL_LIMITS) == [30, 45, 60, 75, 90, 105]
+    assert c.check_level_limits(30, 1_000_000, 100, 1280, 1280) == []
+    assert c.check_level_limits(30, 2_000_000, 100, 1280, 1280)
+    assert c.check_level_limits(60, 2_000_000, 100, 1280, 1280) == []
+    # per-second window: 40 frames of 2M projected points at 30 fps breaks
+    # level 30 (30M/s) but not level 60 (120M/s)
+    frames = [dict(proj_pts=2_000_000)] * 40
+    assert c.check_level_limits_dynamic(30, frames, 30.0)
+    assert c.check_level_limits_dynamic(60, frames, 30.0) == []

@@ -21,6 +21,7 @@ from vpcc_tpu.utils.ply import write_ply
 
 def main(argv=None) -> int:
     cfg = VPCCConfig.from_args(argv if argv is not None else sys.argv[1:])
+    cfg.report_ignored()
     if not cfg.compressedStreamPath:
         print("error: --compressedStreamPath required", file=sys.stderr)
         return 1

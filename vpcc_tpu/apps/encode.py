@@ -33,6 +33,7 @@ def format_frame_path(template: str, index: int) -> str:
 
 def main(argv=None) -> int:
     cfg = VPCCConfig.from_args(argv if argv is not None else sys.argv[1:])
+    cfg.report_ignored()
     if not cfg.uncompressedDataPath:
         print("error: --uncompressedDataPath required", file=sys.stderr)
         return 1
