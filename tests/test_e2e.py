@@ -228,7 +228,7 @@ def test_additional_projection_planes_45deg():
     trips with encoder/decoder parity and quality comparable to 6-plane."""
     src = make_torus_cloud(bits=7, n_samples=22000)
     res = {}
-    for mode in (0, 1):
+    for mode in (0, 1, 4):
         cfg = small_cfg(geometryQP=22, attributeQP=30)
         cfg.additionalProjectionPlaneMode = mode
         enc = Encoder(cfg)
@@ -246,6 +246,9 @@ def test_additional_projection_planes_45deg():
         np.testing.assert_array_equal(a.positions[ka], b.positions[kb])
         res[mode] = m.c2c_psnr
     assert res[1] > res[0] - 1.0, res
+    # 18-orientation mode (reference orientations18,
+    # PCCPatchSegmenter.h:371) must hold quality too
+    assert res[4] > res[0] - 1.0, res
 
 
 def test_lossy_occupancy_reduces_stray_points():

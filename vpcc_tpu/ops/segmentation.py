@@ -45,6 +45,15 @@ ORIENTATIONS10_Z = np.concatenate(
     [ORIENTATIONS6, np.array([[_S2, _S2, 0], [_S2, -_S2, 0], [-_S2, -_S2, 0], [-_S2, _S2, 0]], np.float32)]
 )
 
+# additionalProjectionPlaneMode 4: all 18 orientations — 6 axis planes +
+# the Y-, X-, Z-rotated 45-degree quadruples in that order (reference:
+# orientations18, PCCPatchSegmenter.h:371-395; partitions 6..17 map 1:1
+# onto VIEW_AXES rows 6..17)
+ORIENTATIONS18 = np.concatenate(
+    [ORIENTATIONS6, ORIENTATIONS10_Y[6:], ORIENTATIONS10_X[6:],
+     ORIENTATIONS10_Z[6:]]
+)
+
 
 def partition_to_view(partition: int, additional_plane_mode: int) -> int:
     """Map a segmentation partition id (0..9) to the VIEW_AXES row.
@@ -52,6 +61,10 @@ def partition_to_view(partition: int, additional_plane_mode: int) -> int:
     axis: mode 1 (Y) -> rows 6..9, mode 2 (X) -> 10..13, mode 3 (Z) ->
     14..17 (reference: PCCPatch.cpp:111 view table)."""
     if partition < 6 or additional_plane_mode <= 0:
+        return int(partition)
+    if additional_plane_mode == 4:
+        # 18-orientation mode: partitions already follow the VIEW_AXES
+        # row order (6..9 Y-planes, 10..13 X, 14..17 Z)
         return int(partition)
     return int(partition) + 4 * (additional_plane_mode - 1)
 
@@ -65,7 +78,9 @@ def get_orientations(additional_plane_mode: int) -> np.ndarray:
         return ORIENTATIONS10_X
     if additional_plane_mode == 3:
         return ORIENTATIONS10_Z
-    raise NotImplementedError(f"additionalProjectionPlaneMode={additional_plane_mode}")
+    if additional_plane_mode == 4:
+        return ORIENTATIONS18
+    raise ValueError(f"additionalProjectionPlaneMode={additional_plane_mode}")
 
 
 # viewId -> (axisOfAdditionalPlane, normalAxis, tangentAxis, bitangentAxis,
