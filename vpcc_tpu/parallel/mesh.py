@@ -121,7 +121,7 @@ def full_encode_step_batch(
         part = segment_one_frame(pos, grid_bits, k=8, refine_iters=2)
         planes = jnp.stack([g0, g1]).astype(jnp.int32)
         refs = jnp.stack([ref, ref]).astype(jnp.int32)
-        split, modes, coeffs, rec, _mvs = encfn(
+        split, modes, coeffs, rec, _mvs, _sc, _so = encfn(
             planes, qps, refs, jnp.asarray(True), mv, occ, dummy_w
         )
         pts, valid, pix, pid, bnd, cnt = pipeline._recon_phase1(
