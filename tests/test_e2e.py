@@ -435,3 +435,46 @@ def test_eom_attribute_shortcut_measurement():
     # the shortcut may cost a little color fidelity on the in-between
     # points but must not collapse the attribute quality
     assert y_eom > y_off - 0.5, (y_eom, y_off)
+
+
+def test_surface_and_high_gradient_separation():
+    """Surface separation (reference getPatchSurfaceThickness,
+    PCCPatchSegmenter.cpp:472) and high-gradient separation
+    (separateHighGradientPoints, :1572): both tools run e2e with parity
+    and quality comparable to baseline on a two-sheet cloud where D1
+    absorption is harmful."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    # two parallel thin sheets 3 voxels apart with very different colors:
+    # the D1 layer of the front sheet would absorb the back sheet
+    n = 9000
+    xy = rng.integers(5, 120, (n, 2))
+    z = np.where(rng.random(n) < 0.5, 60, 63)
+    pos = np.stack([xy[:, 0], xy[:, 1], z], 1).astype(np.float64)
+    col = np.where((z == 60)[:, None], [230, 40, 40], [40, 40, 230]).astype(np.uint8)
+    from vpcc_tpu.utils.ply import PointCloudData
+    src = PointCloudData(pos, col).remove_duplicates()
+    res = {}
+    for tools in (0, 1):
+        cfg = small_cfg(geometryQP=20, attributeQP=28)
+        cfg.surfaceSeparation = tools
+        cfg.highGradientSeparation = tools
+        enc = Encoder(cfg)
+        stream, recons = enc.encode_gof([src])
+        decoded = Decoder().decode(stream)
+        a, b = recons[0], decoded[0]
+        assert a.point_count == b.point_count
+        ka = np.lexsort(a.positions.T)
+        kb = np.lexsort(b.positions.T)
+        np.testing.assert_array_equal(a.positions[ka], b.positions[kb])
+        np.testing.assert_array_equal(a.colors[ka], b.colors[kb])
+        m = compute_metrics(
+            src.positions.astype(np.int32), src.colors,
+            decoded[0].positions.astype(np.int32), decoded[0].colors,
+            resolution=127, grid_bits=7,
+        )
+        res[tools] = (m.c2c_psnr, m.color_psnr[0])
+    # separation must not collapse geometry quality, and the attribute of
+    # the two-sheet content should not get worse
+    assert res[1][0] > res[0][0] - 1.0, res
+    assert res[1][1] > res[0][1] - 1.0, res

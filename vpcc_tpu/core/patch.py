@@ -290,15 +290,40 @@ def build_patch_from_component(
     d0_map = np.where(drop, INFINITE_DEPTH, d0_map)
     occ_map = d0_map != INFINITE_DEPTH
 
+    # --- surface separation (reference: getPatchSurfaceThickness,
+    # PCCPatchSegmenter.cpp:472-539): per-patch ADAPTIVE surface thickness —
+    # the largest t <= surfaceThickness whose candidate D1 points keep the
+    # average squared color distance to their D0 winner below 400.  Mixed
+    # surfaces (two sheet sides within thickness) fail the bar and shrink t,
+    # keeping the far sheet out of the D1 layer (it re-enters via later
+    # patch rounds / raw points).
+    eff_thickness = cfg.surfaceThickness
+    if cfg.surfaceSeparation and cfg.surfaceThickness > 0 and cfg.mapCountMinus1 > 0:
+        pix_d0 = d0_map.reshape(-1)[pix]
+        delta = pdt * (d - pix_d0)
+        win_pt = comp[np.minimum(win_rank, len(comp) - 1)]
+        c_pt = colors[comp].astype(np.int32)
+        c_d0 = colors[win_pt[pix]].astype(np.int32)
+        similar = np.all(np.abs(c_pt - c_d0) < 128, axis=-1)
+        err = ((c_pt - c_d0) ** 2).sum(-1).astype(np.int64)
+        base = (pix_d0 != INFINITE_DEPTH) & (delta > 0) & similar
+        eff_thickness = -1
+        for t in range(cfg.surfaceThickness, 0, -1):
+            cand_t = base & (delta <= t)
+            n_t = int(cand_t.sum())
+            if n_t == 0 or float(err[cand_t].sum()) / n_t < 400.0:
+                eff_thickness = t
+                break
+
     # --- D1 layer: farthest depth within surfaceThickness of D0, color-gated
     # (reference: :1153-1195)
     d1_map = d0_map.copy()
-    if cfg.surfaceThickness > 0 and cfg.mapCountMinus1 > 0:
+    if eff_thickness > 0 and cfg.mapCountMinus1 > 0:
         pix_d0 = d0_map.reshape(-1)[pix]
         delta = pdt * (d - pix_d0)
         win_pt = comp[np.minimum(win_rank, len(comp) - 1)]
         similar = _color_similar(colors[comp], colors[win_pt[pix]])
-        cand = (pix_d0 != INFINITE_DEPTH) & (delta >= 0) & (delta <= cfg.surfaceThickness) & similar
+        cand = (pix_d0 != INFINITE_DEPTH) & (delta >= 0) & (delta <= eff_thickness) & similar
         far_key = np.full(size_u * size_v, -(np.int64(1) << 40), np.int64)
         np.maximum.at(far_key, pix[cand], (pdt * d[cand]).astype(np.int64))
         has_far = far_key != -(np.int64(1) << 40)

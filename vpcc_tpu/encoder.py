@@ -131,17 +131,30 @@ class Encoder:
             cfg.lambdaRefineSegmentation, cfg.iterationCountRefineSegmentation,
         )
         part_pt = voxelize.gather_point_values(part, point_vox) if shift else part
-        return part_pt, part, nn_idx, nn_valid, point_vox, n, pc.positions
+        hg_aux = None
+        if cfg.highGradientSeparation:
+            from vpcc_tpu.ops.segmentation import high_gradient_aux
+
+            alt_v, weak_v = high_gradient_aux(nrm, part, orients)
+            if shift:
+                alt_v = voxelize.gather_point_values(alt_v, point_vox)
+                weak_v = voxelize.gather_point_values(weak_v, point_vox)
+            hg_aux = (alt_v, weak_v)
+        return part_pt, part, nn_idx, nn_valid, point_vox, n, pc.positions, hg_aux
 
     @staticmethod
     def segment_fetch(futures):
-        """Download ONLY the (N,) partition labels; the (N, K) neighbor
-        graph stays on device (it feeds the device CC; at CTC point counts
-        it is ~50 MB and the tunnel moves ~10-40 MB/s)."""
-        part_pt, part, nn_idx, nn_valid, point_vox, n, pos_dev = futures
+        """Download ONLY the (N,) partition labels (plus the small
+        high-gradient aux vectors when that tool is on); the (N, K)
+        neighbor graph stays on device (it feeds the device CC; at CTC
+        point counts it is ~50 MB and the tunnel moves ~10-40 MB/s)."""
+        part_pt, part, nn_idx, nn_valid, point_vox, n, pos_dev, hg = futures
+        hg_host = None
+        if hg is not None:
+            hg_host = (np.asarray(hg[0])[:n], np.asarray(hg[1])[:n])
         return (
             np.asarray(part_pt)[:n],
-            (part, nn_idx, nn_valid, point_vox, pos_dev),
+            (part, nn_idx, nn_valid, point_vox, pos_dev, hg_host),
             n,
         )
 
@@ -186,7 +199,7 @@ class Encoder:
 
     def _generate_patches_volume(self, pc_host, partition, dev_graph):
         cfg = self.cfg
-        part_dev, nn_idx_dev, nn_valid_dev, point_vox, pos_dev = dev_graph
+        part_dev, nn_idx_dev, nn_valid_dev, point_vox, pos_dev, hg_aux = dev_graph
         vcap = int(nn_idx_dev.shape[0])
         cap = vcap if point_vox is None else int(point_vox.shape[0])
         positions = np.asarray(pc_host.positions, np.int32)
@@ -251,6 +264,12 @@ class Encoder:
             )
             if not comps:
                 break
+            if cfg.highGradientSeparation and hg_aux is not None:
+                from vpcc_tpu.ops.separation import separate_high_gradient
+
+                comps, _ = separate_high_gradient(
+                    comps, positions, partition, hg_aux[0], hg_aux[1], cfg
+                )
             new_patches = self._build_components(
                 positions, colors, partition, comps, patches
             )
@@ -276,7 +295,7 @@ class Encoder:
         """Exact-distance KNN coverage fallback for vox11+ (the bit volume
         would exceed the HBM budget)."""
         cfg = self.cfg
-        part_dev, nn_idx_dev, nn_valid_dev, point_vox, pos_dev = dev_graph
+        part_dev, nn_idx_dev, nn_valid_dev, point_vox, pos_dev, hg_aux = dev_graph
         vcap = int(nn_idx_dev.shape[0])
         cap = vcap if point_vox is None else int(point_vox.shape[0])
         positions = np.asarray(pc_host.positions, np.int32)
@@ -311,6 +330,12 @@ class Encoder:
             )
             if not comps:
                 break
+            if cfg.highGradientSeparation and hg_aux is not None:
+                from vpcc_tpu.ops.separation import separate_high_gradient
+
+                comps, _ = separate_high_gradient(
+                    comps, positions, partition, hg_aux[0], hg_aux[1], cfg
+                )
             new_patches = self._build_components(
                 positions, colors, partition, comps, patches
             )

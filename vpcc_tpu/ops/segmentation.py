@@ -124,6 +124,25 @@ def initial_segmentation(
     return jnp.argmax(score, axis=1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def high_gradient_aux(
+    normals: jax.Array,       # (N, 3) f32
+    partition: jax.Array,     # (N,) int32
+    orientations: jax.Array,  # (J, 3) f32
+) -> tuple:
+    """Per-point aids for high-gradient separation (reference uses
+    normalsGen scores inside calculateGradient, PCCPatchSegmenter.cpp:
+    1874-1940): `alt` = best orientation other than the assigned one,
+    `weak` = the assigned orientation's score <= 0.577 (a normal at the
+    45-degree diagonal, the reference's normalThreshold)."""
+    score = jnp.einsum("nc,jc->nj", normals, orientations)
+    org = jnp.take_along_axis(score, partition[:, None], axis=1)[:, 0]
+    weak = org <= 0.577
+    masked = score - 1e9 * jax.nn.one_hot(partition, score.shape[1])
+    alt = jnp.argmax(masked, axis=1).astype(jnp.int32)
+    return alt, weak
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def refine_segmentation(
     normals: jax.Array,      # (N, 3)

@@ -81,15 +81,20 @@ def _recon_phase2(
     pat[1] = 1
     layer = jnp.tile(jnp.asarray(pat), hw2 // L)
 
-    order = jnp.argsort(jnp.logical_not(v), stable=True)  # valid first
-    sel = order[:bucket]
-    pos = pos_f[sel]
-    vv = v[sel]
-    pixc = pixr[sel]
-    pidc = pidr[sel]
-    bndc = bndr[sel]
-    layc = layer[sel]
-    pos = jnp.where(vv[:, None], pos, PAD_COORD)
+    # stable valid-first compaction via cumsum-scatter (same ordering an
+    # argsort(~valid, stable) produces, at O(N) scatter cost instead of a
+    # 7M-row sort)
+    dst = jnp.cumsum(v.astype(jnp.int32)) - 1
+    dst = jnp.where(v & (dst < bucket), dst, bucket)
+    put = lambda a, fill: jnp.full((bucket + 1,) + a.shape[1:], fill, a.dtype).at[
+        dst
+    ].set(a, mode="drop")[:bucket]
+    pos = put(pos_f, PAD_COORD)
+    vv = put(v, False)
+    pixc = put(pixr, 0)
+    pidc = put(pidr, 0)
+    bndc = put(bndr, False)
+    layc = put(layer, 2)
     if do_smooth:
         sm = smoothing.smooth_point_cloud_grid(
             jnp.where(vv[:, None], pos, 0), vv, pidc, bndc, thr,

@@ -108,6 +108,8 @@ class VPCCConfig:
     patchSize: int = 9
     surfaceSeparation: int = 0
     highGradientSeparation: int = 0
+    minGradient: float = 15.0
+    minNumHighGradientPoints: int = 256
 
     # --- video codec ---
     geometryQP: int = 24
