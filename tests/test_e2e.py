@@ -478,3 +478,37 @@ def test_surface_and_high_gradient_separation():
     # the two-sheet content should not get worse
     assert res[1][0] > res[0][0] - 1.0, res
     assert res[1][1] > res[0][1] - 1.0, res
+
+
+def test_raw_points_and_eom_separate_video():
+    """Raw coords in a GVD aux substream + raw/EOM attribute samples in an
+    AVD aux substream (reference generateRawPoints*Video,
+    PCCEncoder.cpp:4110-4665; unpack PCCCodec.cpp:1462-1593): the CWAI-style
+    lossless round trip stays bit-exact with raw points flowing through
+    video payloads, and EOM points carry true sampled colors."""
+    import numpy as np
+    src = make_sphere_cloud(bits=7, n_samples=30000)
+    # lossless condition: rawPointsPatch + EOM + lossless QPs
+    cfg = small_cfg(geometryQP=4, attributeQP=4)
+    cfg.rawPointsPatch = 1
+    cfg.useRawPointsSeparateVideo = 1
+    cfg.enhancedOccupancyMapCode = 1
+    cfg.flagColorPreSmoothing = 0
+    cfg.flagGeometrySmoothing = 0
+    cfg.gridSmoothing = 0
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof([src])
+    decoded = Decoder().decode(stream)
+    a, b = recons[0], decoded[0]
+    assert a.point_count == b.point_count
+    ka = np.lexsort(a.positions.T)
+    kb = np.lexsort(b.positions.T)
+    np.testing.assert_array_equal(a.positions[ka], b.positions[kb])
+    np.testing.assert_array_equal(a.colors[ka], b.colors[kb])
+    # lossless: every source point present with its exact color
+    sk = np.lexsort(src.positions.astype(np.int32).T)
+    spos = src.positions.astype(np.int32)[sk]
+    dpos = b.positions.astype(np.int32)[kb]
+    rows = {tuple(p): tuple(c) for p, c in zip(dpos, b.colors[kb])}
+    missing = sum(1 for p in spos if tuple(p) not in rows)
+    assert missing == 0, f"{missing} source points missing"

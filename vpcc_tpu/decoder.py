@@ -20,7 +20,7 @@ from vpcc_tpu.core.patch import INFINITE_DEPTH, Patch
 from vpcc_tpu import pipeline
 from vpcc_tpu.utils.config import VPCCConfig
 from vpcc_tpu.utils.ply import PointCloudData
-from vpcc_tpu.video import codecs
+from vpcc_tpu.video import aux_video, codecs
 
 
 def _pdu_to_patch(pdu: v3c.PatchDataUnit, index: int, vps: v3c.V3CParameterSet) -> Patch:
@@ -78,6 +78,8 @@ class Decoder:
         eom_sub = None
         geo_subs = {}
         attr_subs = {}
+        raw_geo_sub = None   # RAW aux geometry (map_index 15)
+        raw_attr_sub = None  # RAW/EOM aux attribute
         for utype, payload in units:
             br = BitReader(payload)
             if utype == v3c.V3C_VPS:
@@ -102,10 +104,16 @@ class Decoder:
                     eom_sub = s
             elif utype == v3c.V3C_GVD:
                 s = v3c.VideoSubstream.read(br)
-                geo_subs[s.map_index] = s
+                if s.map_index == aux_video.AUX_MAP_INDEX:
+                    raw_geo_sub = s
+                else:
+                    geo_subs[s.map_index] = s
             elif utype == v3c.V3C_AVD:
                 s = v3c.VideoSubstream.read(br)
-                attr_subs[s.map_index] = s
+                if s.map_index == aux_video.AUX_MAP_INDEX:
+                    raw_attr_sub = s
+                else:
+                    attr_subs[s.map_index] = s
         assert vps is not None and occ_sub is not None
 
         cfg = self.cfg
@@ -216,18 +224,34 @@ class Decoder:
             a0 = jnp.asarray(attr[0])
             a1 = jnp.asarray(attr[1]) if len(attr) > 1 else a0
             col_d = pipeline.gather_decoded_colors(recon.pix, recon.layer, a0, a1)
+            aux_raw_pos = aux_raw_cols = aux_eom_cols = None
+            if raw_geo_sub is not None:
+                aux_raw_pos = aux_video.unpack_raw_geometry(
+                    raw_geo_sub.frames[fi]
+                )
+            if raw_attr_sub is not None:
+                aux_raw_cols, aux_eom_cols = aux_video.unpack_aux_attribute(
+                    raw_attr_sub.frames[fi]
+                )
+            if aux_eom_cols is not None:
+                col_d = pipeline.inject_eom_colors(
+                    recon.layer, recon.valid, col_d, jnp.asarray(aux_eom_cols)
+                )
             col_d = pipeline.apply_color_smoothing_device(recon, col_d, cfg)
             pos, col = pipeline.download_recon(
                 recon, col_d, vps.geometry_3d_bitdepth
             )
             tile = tiles[fi]
-            if tile.raw_positions is not None:
-                pos = np.concatenate([pos, tile.raw_positions], 0)
-                raw_cols = (
-                    tile.raw_colors
-                    if tile.raw_colors is not None
-                    else np.zeros_like(tile.raw_positions, np.uint8)
-                )
+            raw_pos = (
+                aux_raw_pos if aux_raw_pos is not None else tile.raw_positions
+            )
+            if raw_pos is not None:
+                pos = np.concatenate([pos, raw_pos], 0)
+                raw_cols = aux_raw_cols
+                if raw_cols is None:
+                    raw_cols = tile.raw_colors
+                if raw_cols is None:
+                    raw_cols = np.zeros_like(raw_pos, np.uint8)
                 col = np.concatenate([col.astype(np.uint8), raw_cols], 0)
             pc = PointCloudData(pos, col.astype(np.uint8))
             if cfg.removeDuplicatePoints:

@@ -53,6 +53,7 @@ class EncodedFrame:
     raw_positions: "np.ndarray | None" = None
     raw_colors: "np.ndarray | None" = None
     eom_payload: "bytes | None" = None
+    eom_colors: "np.ndarray | None" = None  # EOM texture samples (aux AVD)
 
 
 @dataclasses.dataclass
@@ -636,6 +637,26 @@ class Encoder:
         st.recolor_s = time.perf_counter() - t
         t = time.perf_counter()
 
+        # EOM texture samples (reference eomTexturePatch,
+        # PCCEncoder.cpp:4380-4665): EOM rows carry their TRANSFERRED colors
+        # through the aux attribute substream instead of inheriting the
+        # layer-0 pixel; extracted in reconstruction row order (identical
+        # on the decoder by construction)
+        eom_aux_colors = None
+        if (
+            cfg.enhancedOccupancyMapCode
+            and cfg.useRawPointsSeparateVideo
+            and eom_dec is not None
+        ):
+            n_eom = int(pipeline.count_eom_rows(recon.layer, recon.valid))
+            if n_eom:
+                ecap = shape_bucket(n_eom, minimum=1024)
+                eom_aux_colors = np.asarray(
+                    pipeline.extract_eom_colors(
+                        recon.layer, recon.valid, rec_col, ecap
+                    )
+                )[:n_eom].astype(np.uint8)
+
         # --- attribute videos: paint per-pixel per-layer (device scatter)
         img0, img1 = pipeline.paint_attribute(
             recon.pix, recon.layer, recon.valid, rec_col, height, width
@@ -673,6 +694,10 @@ class Encoder:
             recon.pix, recon.layer, jnp.asarray(attr_dec[0]),
             jnp.asarray(attr_dec[-1]),
         )
+        if eom_aux_colors is not None:
+            col_dec = pipeline.inject_eom_colors(
+                recon.layer, recon.valid, col_dec, jnp.asarray(eom_aux_colors)
+            )
         col_dec = pipeline.apply_color_smoothing_device(recon, col_dec, cfg)
         # every device program of the frame is queued: resolve the deferred
         # payload finalizers now — their device->host syntax downloads have
@@ -709,6 +734,7 @@ class Encoder:
             raw_positions=raw_positions,
             raw_colors=raw_colors,
             eom_payload=eom_payload,
+            eom_colors=eom_aux_colors,
         )
 
     # ------------------------------------------------------------------
@@ -924,8 +950,16 @@ class Encoder:
                     tile_id=ti,
                     tile_row_start=tile_rows[ti] if ti < len(tile_rows) else 0,
                     patches=pdus,
-                    raw_positions=e.raw_positions if ti == 0 else None,
-                    raw_colors=e.raw_colors if ti == 0 else None,
+                    raw_positions=(
+                        e.raw_positions
+                        if ti == 0 and not cfg.useRawPointsSeparateVideo
+                        else None
+                    ),
+                    raw_colors=(
+                        e.raw_colors
+                        if ti == 0 and not cfg.useRawPointsSeparateVideo
+                        else None
+                    ),
                     geometry_bits=cfg.geometryBitDepth3D,
                     tile_type=v3c.TILE_I if fi == 0 else v3c.TILE_P,
                     ref_patches=(
@@ -1021,6 +1055,24 @@ class Encoder:
                 bw = BitWriter()
                 v3c.VideoSubstream(unit_type, mi, plist).write(bw)
                 units.append((unit_type, bw.getvalue()))
+        if cfg.useRawPointsSeparateVideo:
+            # RAW/EOM auxiliary substreams (reference GVD_RAW/AVD_RAW,
+            # PCCEncoder.cpp:4110-4665; unpack PCCCodec.cpp:1462-1593)
+            from vpcc_tpu.video import aux_video
+
+            bw = BitWriter()
+            v3c.VideoSubstream(
+                v3c.V3C_GVD, aux_video.AUX_MAP_INDEX,
+                [aux_video.pack_raw_geometry(e.raw_positions) for e in encoded],
+            ).write(bw)
+            units.append((v3c.V3C_GVD, bw.getvalue()))
+            bw = BitWriter()
+            v3c.VideoSubstream(
+                v3c.V3C_AVD, aux_video.AUX_MAP_INDEX,
+                [aux_video.pack_aux_attribute(e.raw_colors, e.eom_colors)
+                 for e in encoded],
+            ).write(bw)
+            units.append((v3c.V3C_AVD, bw.getvalue()))
 
         stream = v3c.write_sample_stream(units)
         # per-substream composition stats (the PCCBitstreamStat equivalent,

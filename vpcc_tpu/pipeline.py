@@ -248,6 +248,32 @@ def apply_color_smoothing_device(recon: DeviceRecon, col, cfg: VPCCConfig):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def extract_eom_colors(layer, valid, col, cap: int):
+    """Compacted colors of the EOM rows (layer tag 2) in reconstruction row
+    order — the encoder codes these into the AVD aux substream (reference
+    eomTexturePatch samples, PCCEncoder.cpp:4380-4665)."""
+    m = valid & (layer == 2)
+    dst = jnp.cumsum(m.astype(jnp.int32)) - 1
+    dst = jnp.where(m & (dst < cap), dst, cap)
+    out = jnp.zeros((cap + 1, 3), col.dtype).at[dst].set(col, mode="drop")[:cap]
+    return out
+
+
+@jax.jit
+def count_eom_rows(layer, valid):
+    return jnp.sum(valid & (layer == 2))
+
+
+@jax.jit
+def inject_eom_colors(layer, valid, col, aux):
+    """Give every EOM row its aux-substream color (same row order as
+    extract_eom_colors; reference PCCCodec.cpp:1525-1593 aux unpack)."""
+    m = valid & (layer == 2)
+    idx = jnp.clip(jnp.cumsum(m.astype(jnp.int32)) - 1, 0, aux.shape[0] - 1)
+    return jnp.where(m[:, None], aux[idx].astype(col.dtype), col)
+
+
 @functools.partial(jax.jit, static_argnames=("bits",))
 def _pack_positions(pos, bits: int):
     return (pos[:, 0] << (2 * bits)) | (pos[:, 1] << bits) | pos[:, 2]

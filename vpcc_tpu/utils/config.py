@@ -119,6 +119,7 @@ class VPCCConfig:
     geometryConfig: str = ""
     attributeConfig: str = ""
     rawPointsPatch: int = 0
+    useRawPointsSeparateVideo: int = 0
     lossyRawPointsPatch: int = 0
     videoEncoderOccupancyCodecId: int = 0
     videoEncoderGeometryCodecId: int = 0
