@@ -512,3 +512,52 @@ def test_raw_points_and_eom_separate_video():
     rows = {tuple(p): tuple(c) for p, c in zip(dpos, b.colors[kb])}
     missing = sum(1 for p in spos if tuple(p) not in rows)
     assert missing == 0, f"{missing} source points missing"
+
+
+def test_reflectance_substream_end_to_end():
+    """Reflectance attribute (count 2, 16-bit; reference
+    ATTRIBUTE_REFLECTANCE enum PCCBitstreamCommon.h:71-90, 16-bit transfer
+    PCCPointSet.h:306): PLY with reflectance round-trips through its own
+    AVD substream; lossless condition is exact, lossy reports a real
+    reflectance PSNR."""
+    import numpy as np
+    from vpcc_tpu.ops.metrics import compute_metrics
+    src = make_sphere_cloud(bits=7, n_samples=25000)
+    # smooth 16-bit reflectance field over the sphere
+    refl = (
+        (src.positions[:, 0].astype(np.float64) * 400)
+        + (src.positions[:, 1].astype(np.float64) * 130)
+    ).astype(np.uint16)
+    from vpcc_tpu.utils.ply import PointCloudData
+    src = PointCloudData(src.positions, src.colors, reflectances=refl)
+
+    # lossless: decoded reflectance of every exact-position point matches
+    cfg = small_cfg(geometryQP=4, attributeQP=4)
+    cfg.rawPointsPatch = 1
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof([src])
+    dec = Decoder().decode(stream)[0]
+    assert dec.reflectances is not None
+    rows = {
+        tuple(p): r
+        for p, r in zip(dec.positions.astype(np.int32), dec.reflectances)
+    }
+    spos = src.positions.astype(np.int32)
+    exact = sum(
+        1 for p, r in zip(spos, src.reflectances)
+        if rows.get(tuple(p)) == r
+    )
+    assert exact >= 0.99 * len(spos), (exact, len(spos))
+
+    # lossy: PSNR must be reported and sane
+    cfg2 = small_cfg(geometryQP=22, attributeQP=30)
+    enc2 = Encoder(cfg2)
+    stream2, _ = enc2.encode_gof([src])
+    dec2 = Decoder().decode(stream2)[0]
+    assert dec2.reflectances is not None
+    m = compute_metrics(
+        spos, src.colors, dec2.positions.astype(np.int32), dec2.colors,
+        resolution=127, grid_bits=7,
+        src_refl=src.reflectances, rec_refl=dec2.reflectances,
+    )
+    assert 25.0 < m.reflectance_psnr < 200.0, m.reflectance_psnr

@@ -80,6 +80,7 @@ class Decoder:
         attr_subs = {}
         raw_geo_sub = None   # RAW aux geometry (map_index 15)
         raw_attr_sub = None  # RAW/EOM aux attribute
+        refl_sub = None      # reflectance attribute (map_index 8)
         for utype, payload in units:
             br = BitReader(payload)
             if utype == v3c.V3C_VPS:
@@ -112,6 +113,8 @@ class Decoder:
                 s = v3c.VideoSubstream.read(br)
                 if s.map_index == aux_video.AUX_MAP_INDEX:
                     raw_attr_sub = s
+                elif s.map_index == codecs.REFL_MAP_INDEX:
+                    refl_sub = s
                 else:
                     attr_subs[s.map_index] = s
         assert vps is not None and occ_sub is not None
@@ -238,6 +241,13 @@ class Decoder:
                     recon.layer, recon.valid, col_d, jnp.asarray(aux_eom_cols)
                 )
             col_d = pipeline.apply_color_smoothing_device(recon, col_d, cfg)
+            refl = None
+            if refl_sub is not None and refl_sub.frames[fi]:
+                r0d, r1d = codecs.decode_reflectance(refl_sub.frames[fi])
+                refl_d = pipeline.gather_decoded_scalar(
+                    recon.pix, recon.layer, r0d, r1d
+                )
+                refl = np.asarray(refl_d)[: recon.count].astype(np.uint16)
             pos, col = pipeline.download_recon(
                 recon, col_d, vps.geometry_3d_bitdepth
             )
@@ -253,7 +263,11 @@ class Decoder:
                 if raw_cols is None:
                     raw_cols = np.zeros_like(raw_pos, np.uint8)
                 col = np.concatenate([col.astype(np.uint8), raw_cols], 0)
-            pc = PointCloudData(pos, col.astype(np.uint8))
+                if refl is not None:
+                    refl = np.concatenate(
+                        [refl, np.zeros(len(raw_pos), np.uint16)], 0
+                    )
+            pc = PointCloudData(pos, col.astype(np.uint8), reflectances=refl)
             if cfg.removeDuplicatePoints:
                 pc = pc.remove_duplicates()
             self.frame_info.append(

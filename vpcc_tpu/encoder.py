@@ -54,6 +54,7 @@ class EncodedFrame:
     raw_colors: "np.ndarray | None" = None
     eom_payload: "bytes | None" = None
     eom_colors: "np.ndarray | None" = None  # EOM texture samples (aux AVD)
+    reflectance_payload: "bytes | None" = None  # 2-layer reflectance maps
 
 
 @dataclasses.dataclass
@@ -699,12 +700,39 @@ class Encoder:
                 recon.layer, recon.valid, col_dec, jnp.asarray(eom_aux_colors)
             )
         col_dec = pipeline.apply_color_smoothing_device(recon, col_dec, cfg)
+
+        # --- reflectance attribute substream (attribute count 2; reference
+        # ATTRIBUTE_REFLECTANCE, PCCBitstreamCommon.h:71-90, 16-bit transfer
+        # PCCPointSet.h:306): transferred per point, painted into two layer
+        # maps, coded losslessly (CWAI) or at 10-bit precision (lossy)
+        refl_payload = None
+        rec_refl_dec = None
+        if pc_host.reflectances is not None:
+            sr = np.zeros((src_cap,), np.int32)
+            sr[: pc_host.point_count] = pc_host.reflectances.astype(np.int32)
+            refl_pts = recolor.transfer_reflectance(
+                sp_dev, jnp.asarray(sr), jnp.asarray(pc_host.point_count),
+                recon.pos, jnp.asarray(recon.count), grid_bits=bits,
+            )
+            r0, r1 = pipeline.paint_scalar(
+                recon.pix, recon.layer, recon.valid, refl_pts, height, width
+            )
+            refl_payload, r0d, r1d = codecs.encode_reflectance(
+                r0, r1, occ_dev, cfg, qp_offset=qp_offset
+            )
+            rec_refl_dec = pipeline.gather_decoded_scalar(
+                recon.pix, recon.layer, r0d, r1d
+            )
+
         # every device program of the frame is queued: resolve the deferred
         # payload finalizers now — their device->host syntax downloads have
         # been riding under the attribute/recon dispatches above
         geo_payloads = [p() for p in geo_payloads]
         attr_payloads = [p() for p in attr_payloads]
         rec_pos, rec_col_dec = pipeline.download_recon(recon, col_dec, bits)
+        rec_refl = None
+        if rec_refl_dec is not None:
+            rec_refl = np.asarray(rec_refl_dec)[: recon.count].astype(np.uint16)
         st.video_s += time.perf_counter() - t
 
         if raw_positions is not None:
@@ -715,7 +743,11 @@ class Encoder:
                 else np.zeros_like(raw_positions, np.uint8)
             )
             rec_col_dec = np.concatenate([rec_col_dec, raw_cols], 0)
-        recon_pc = PointCloudData(rec_pos, rec_col_dec)
+            if rec_refl is not None:
+                rec_refl = np.concatenate(
+                    [rec_refl, np.zeros(len(raw_positions), np.uint16)], 0
+                )
+        recon_pc = PointCloudData(rec_pos, rec_col_dec, reflectances=rec_refl)
         if cfg.removeDuplicatePoints:
             recon_pc = recon_pc.remove_duplicates()
 
@@ -735,6 +767,7 @@ class Encoder:
             raw_colors=raw_colors,
             eom_payload=eom_payload,
             eom_colors=eom_aux_colors,
+            reflectance_payload=refl_payload,
         )
 
     # ------------------------------------------------------------------
@@ -861,7 +894,9 @@ class Encoder:
             e = self.encode_frame(
                 f, streams=streams, prev_patches=prev_patches, seg=seg,
                 temporal_refs=trefs, qp_offset=qp_off[i],
-                qp_offset_geo=min(qp_off[i], 1),
+                qp_offset_geo=min(
+                    qp_off[i], int(getattr(cfg, "geometryQpCascadeCap", 1))
+                ),
                 pregen=pregen_data[i] if gpa else None,
                 preset_size=gpa_size,
             )
@@ -1055,6 +1090,16 @@ class Encoder:
                 bw = BitWriter()
                 v3c.VideoSubstream(unit_type, mi, plist).write(bw)
                 units.append((unit_type, bw.getvalue()))
+        if encoded[0].reflectance_payload is not None:
+            # second attribute (reflectance) substream: attribute index 1
+            # rides map_index REFL_MAP_INDEX (reference ATTRIBUTE_T0.. per
+            # attribute enum, PCCBitstreamCommon.h:71-90)
+            bw = BitWriter()
+            v3c.VideoSubstream(
+                v3c.V3C_AVD, codecs.REFL_MAP_INDEX,
+                [e.reflectance_payload or b"" for e in encoded],
+            ).write(bw)
+            units.append((v3c.V3C_AVD, bw.getvalue()))
         if cfg.useRawPointsSeparateVideo:
             # RAW/EOM auxiliary substreams (reference GVD_RAW/AVD_RAW,
             # PCCEncoder.cpp:4110-4665; unpack PCCCodec.cpp:1462-1593)

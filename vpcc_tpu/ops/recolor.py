@@ -264,6 +264,29 @@ def transfer_colors_compact(
     )
 
 
+def transfer_reflectance(
+    src_pos: jax.Array,    # (Ns, 3) int32 padded
+    src_refl: jax.Array,   # (Ns,) int32 16-bit reflectance
+    src_count,
+    tgt_pos: jax.Array,    # (Nt, 3) int32 padded
+    tgt_count,
+    grid_bits: int = 10,
+):
+    """Per-target reflectance: the exact-position twin's value when one
+    exists, else the nearest source's (reference transfers reflectance with
+    the same 16-bit transfer machinery as colors, PCCPointSet.h:306
+    transferColors16bitBP; the nearest-sample form is its k=1 special
+    case).  Returns (Nt,) int32."""
+    src_valid = jnp.arange(src_pos.shape[0]) < src_count
+    exact_idx, has_exact = exact_matches_device(
+        src_pos, src_valid, tgt_pos, grid_bits
+    )
+    grid_s = neighbors.build_grid(src_pos, grid_bits)
+    nidx, nd2 = neighbors.nearest(grid_s, src_pos, tgt_pos, bucket=6)
+    idx = jnp.where(has_exact, exact_idx, nidx)
+    return src_refl[idx]
+
+
 @jax.jit
 def _blend(src_pos, src_col, src_count, tgt_pos, exact_idx, has_exact,
            idx, d2, tidx, td2, gd2_fwd, gd2_bwd, cd2_fwd, doff_fwd):

@@ -248,6 +248,33 @@ def apply_color_smoothing_device(recon: DeviceRecon, col, cfg: VPCCConfig):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def paint_scalar(pix, layer, valid, val, h: int, w: int):
+    """Scatter per-point scalar samples (e.g. 16-bit reflectance) into the
+    two attribute layer images; layer-1 pixels without a distinct point
+    reuse layer 0 (same convention as paint_attribute)."""
+    x = pix[:, 0]
+    y = pix[:, 1]
+    s = val.astype(jnp.int32)
+    m0 = valid & (layer == 0)
+    m1 = valid & (layer == 1)
+    y0 = jnp.where(m0, y, h)
+    y1 = jnp.where(m1, y, h)
+    img0 = jnp.zeros((h, w), jnp.int32).at[y0, x].set(s, mode="drop")
+    img1 = jnp.zeros((h, w), jnp.int32).at[y1, x].set(s, mode="drop")
+    painted1 = jnp.zeros((h, w), jnp.bool_).at[y1, x].set(True, mode="drop")
+    return img0, jnp.where(painted1, img1, img0)
+
+
+@jax.jit
+def gather_decoded_scalar(pix, layer, img0, img1):
+    x = pix[:, 0]
+    y = pix[:, 1]
+    v0 = img0[y, x].astype(jnp.int32)
+    v1 = img1[y, x].astype(jnp.int32)
+    return jnp.where(layer == 1, v1, v0)
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def extract_eom_colors(layer, valid, col, cap: int):
     """Compacted colors of the EOM rows (layer tag 2) in reconstruction row

@@ -70,6 +70,53 @@ def decode_eom_plane(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# reflectance attribute substream (attribute index 1; reference
+# ATTRIBUTE_REFLECTANCE, PCCBitstreamCommon.h:71-90).  16-bit samples: the
+# lossless path codes them verbatim; the lossy path rides the wavefront
+# codec at 10-bit precision (documented deviation — the integer-exact
+# prediction matmul bounds samples to 11 bits, video/hevc.py).
+
+REFL_MAP_INDEX = 8  # AVD map_index base tag for the reflectance attribute
+
+
+def encode_reflectance(r0, r1, occ, cfg: VPCCConfig, qp_offset: int = 0):
+    """(H, W) int32 device layer maps -> (payload, dec0, dec1 device)."""
+    import jax.numpy as jnp
+    import numpy as np_
+    from vpcc_tpu.video import hevc, intra
+
+    if _lossless_attr(cfg) or not intra.AVAILABLE:
+        h0 = np_.asarray(r0).astype(np_.uint16)
+        h1 = np_.asarray(r1).astype(np_.uint16)
+        payload = b"\x00" + lossless.encode_plane(np_.stack([h0, h1], -1))
+        return payload, jnp.asarray(h0.astype(np_.int32)), jnp.asarray(
+            h1.astype(np_.int32)
+        )
+    planes = jnp.stack([jnp.asarray(r0) >> 6, jnp.asarray(r1) >> 6])
+    qp = min(cfg.attributeQP + qp_offset, 51)
+    pay, rec = hevc.encode_planes(
+        planes, [qp, qp], [1023, 1023], occ=occ, weight=occ, deblock=True
+    )
+    return b"\x01" + pay, rec[0] << 6, rec[1] << 6
+
+
+def decode_reflectance(payload: bytes):
+    """payload -> (dec0, dec1) device int32 planes."""
+    import jax.numpy as jnp
+    import numpy as np_
+    from vpcc_tpu.video import hevc
+
+    if payload[0] == 0:
+        both = lossless.decode_plane(payload[1:])
+        return (
+            jnp.asarray(both[..., 0].astype(np_.int32)),
+            jnp.asarray(both[..., 1].astype(np_.int32)),
+        )
+    rec = hevc.decode_planes(payload[1:])
+    return rec[0] << 6, rec[1] << 6
+
+
+# ---------------------------------------------------------------------------
 # geometry / attribute substreams (stateful)
 
 _UNSET = object()  # sentinel: caller did not override the temporal ref
