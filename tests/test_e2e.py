@@ -561,3 +561,38 @@ def test_reflectance_substream_end_to_end():
         src_refl=src.reflectances, rec_refl=dec2.reflectances,
     )
     assert 25.0 < m.reflectance_psnr < 200.0, m.reflectance_psnr
+
+
+def test_spatial_consistency_tetris():
+    """Temporally-consistent tetris packing (reference
+    spatialConsistencyPackTetris, PCCEncoder.cpp:1414): with
+    packingStrategy=2 and constrainedPack, matched patches keep their
+    previous-frame position across a GOF, parity intact."""
+    import numpy as np
+    f0 = make_sphere_cloud(bits=7, n_samples=25000, seed=3)
+    # second frame: same cloud shifted by 1 voxel (strong matches)
+    pos1 = np.clip(f0.positions.astype(np.int32) + 1, 0, 127)
+    from vpcc_tpu.utils.ply import PointCloudData
+    f1 = PointCloudData(pos1, f0.colors).remove_duplicates()
+    cfg = small_cfg(geometryQP=22, attributeQP=30)
+    cfg.packingStrategy = 2
+    enc = Encoder(cfg)
+    stream, recons = enc.encode_gof([f0, f1])
+    decoded = Decoder().decode(stream)
+    for a, b in zip(recons, decoded):
+        assert a.point_count == b.point_count
+        ka = np.lexsort(a.positions.T)
+        kb = np.lexsort(b.positions.T)
+        np.testing.assert_array_equal(a.positions[ka], b.positions[kb])
+    # most matched patches must have landed on their previous position
+    e0, e1 = enc.last_encoded
+    prev = {id(p): (p.u0, p.v0, p.orientation) for p in e0.patches}
+    kept = stayed = 0
+    for p in e1.patches:
+        if p.ref_patch_idx >= 0 and p.pref_u0 >= 0:
+            kept += 1
+            if (p.u0, p.v0, p.orientation) == (
+                p.pref_u0, p.pref_v0, p.pref_orientation
+            ):
+                stayed += 1
+    assert kept > 0 and stayed >= kept * 0.6, (stayed, kept)

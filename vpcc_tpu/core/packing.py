@@ -243,6 +243,9 @@ def pack_tetris(
     patches.sort(
         key=lambda p: (-max(p.size_u0, p.size_v0), -min(p.size_u0, p.size_v0), p.index)
     )
+    # matched patches first (reference spatialConsistencyPackTetris sorts
+    # by match before dropping): their preferred spots stay reachable
+    patches.sort(key=lambda p: (p.pref_u0 < 0,))
     width_blk = max(cfg.minimumImageWidth if preset_width == 0 else preset_width, 64) // res
     for p in patches:
         width_blk = max(width_blk, p.size_u0 + 1)
@@ -250,6 +253,22 @@ def pack_tetris(
 
     for p in patches:
         bo = p.block_occupancy()
+        # temporally-consistent variant (reference
+        # spatialConsistencyPackTetris, PCCEncoder.cpp:1414): a matched
+        # patch keeps its previous-frame position when its rectangle sits
+        # fully on/above the current skyline (the skyline invariant keeps
+        # the decoder's overwrite-order derivation exact)
+        if p.pref_u0 >= 0:
+            fp = _orient_footprint(bo, p.pref_orientation)
+            fh, fw = fp.shape
+            x = p.pref_u0
+            if (
+                x + fw <= width_blk
+                and int(horizon[x : x + fw].max()) <= p.pref_v0
+            ):
+                p.u0, p.v0, p.orientation = x, p.pref_v0, p.pref_orientation
+                horizon[x : x + fw] = p.pref_v0 + fh
+                continue
         pref = ORIENT_HORIZONTAL if p.size_u0 > p.size_v0 else ORIENT_VERTICAL
         orients = pref[: (8 if cfg.useEightOrientations else 2)]
         best = None  # (peak, waste, rank, x, o, fp)

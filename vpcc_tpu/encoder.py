@@ -155,7 +155,8 @@ class Encoder:
         if hg is not None:
             hg_host = (np.asarray(hg[0])[:n], np.asarray(hg[1])[:n])
         return (
-            np.asarray(part_pt)[:n],
+            # writable copy: high-gradient separation reassigns partitions
+            np.array(part_pt[:n]),
             (part, nn_idx, nn_valid, point_vox, pos_dev, hg_host),
             n,
         )
