@@ -367,6 +367,78 @@ class Encoder:
         return patches, dist2
 
     # ------------------------------------------------------------------
+    def _roi_boxes(self, pc_host: PointCloudData):
+        """ROI bounding boxes: the explicit cfg lists when given, else
+        auto-cuts along the sorted longest axes (reference
+        enablePointCloudPartitioning / numCutsAlong*Axis,
+        PCCPatchSegmenter.cpp:615-780)."""
+        cfg = self.cfg
+        if cfg.roiBoundingBoxMinX:
+            return [
+                (np.array([x0, y0, z0]), np.array([x1, y1, z1]))
+                for x0, x1, y0, y1, z0, z1 in zip(
+                    cfg.roiBoundingBoxMinX, cfg.roiBoundingBoxMaxX,
+                    cfg.roiBoundingBoxMinY, cfg.roiBoundingBoxMaxY,
+                    cfg.roiBoundingBoxMinZ, cfg.roiBoundingBoxMaxZ,
+                )
+            ]
+        pos = pc_host.positions.astype(np.int64)
+        lo, hi = pos.min(0), pos.max(0)
+        extent = hi - lo
+        axes = np.argsort(-extent)  # longest first
+        cuts = [
+            max(int(cfg.numCutsAlong1stLongestAxis), 0),
+            max(int(cfg.numCutsAlong2ndLongestAxis), 0),
+            max(int(cfg.numCutsAlong3rdLongestAxis), 0),
+        ]
+        boxes = [(lo.copy(), hi.copy())]
+        for axis_rank, ncut in enumerate(cuts):
+            if ncut == 0:
+                continue
+            ax = int(axes[axis_rank])
+            nseg = ncut + 1
+            edges = np.linspace(lo[ax], hi[ax] + 1, nseg + 1).astype(np.int64)
+            nxt = []
+            for b0, b1 in boxes:
+                for s in range(nseg):
+                    c0, c1 = b0.copy(), b1.copy()
+                    c0[ax] = edges[s]
+                    c1[ax] = edges[s + 1] - 1
+                    nxt.append((c0, c1))
+            boxes = nxt
+        return boxes
+
+    def _partitioned_pregen(self, pc_host: PointCloudData):
+        """ROI/spatial partitioning (reference enablePointCloudPartitioning,
+        PCCPatchSegmenter.cpp:615-780): segmentation + patch generation run
+        per ROI chunk — each chunk's device arrays bucket to ITS point
+        count, so arbitrarily large clouds stream through a bounded HBM
+        footprint (and chunks are the natural spatial multichip axis).
+        Patch indices renumber globally; coverage distances merge back into
+        the full-cloud vector for the raw-points patch."""
+        cfg = self.cfg
+        pos = pc_host.positions.astype(np.int64)
+        n = pc_host.point_count
+        dist2 = np.full(n, np.inf)
+        patches: List[Patch] = []
+        for b0, b1 in self._roi_boxes(pc_host):
+            sel = np.nonzero(np.all((pos >= b0) & (pos <= b1), axis=1))[0]
+            if len(sel) < cfg.minPointCountPerCCPatchSegmentation:
+                continue  # tiny remnants stay at inf -> the raw patch
+            sub = PointCloudData(
+                pc_host.positions[sel],
+                None if pc_host.colors is None else pc_host.colors[sel],
+            )
+            partition, dev_graph, _ = self.segment(sub)
+            sub_patches, sub_d2 = self.generate_patches(sub, partition, dev_graph)
+            for p in sub_patches:
+                p.index = len(patches)
+                patches.append(p)
+            dist2[sel] = sub_d2
+        sp_dev = from_host(pc_host).positions
+        return patches, dist2, sp_dev
+
+    # ------------------------------------------------------------------
     def encode_frame(
         self,
         pc_host: PointCloudData,
@@ -397,6 +469,8 @@ class Encoder:
         st = EncoderStats(point_count=pc_host.point_count)
         t0 = time.perf_counter()
 
+        if pregen is None and cfg.enablePointCloudPartitioning:
+            pregen = self._partitioned_pregen(pc_host)
         if pregen is not None:
             patches, cover_dist2, sp_pregen = pregen
             st.segmentation_s = time.perf_counter() - t0
@@ -873,15 +947,18 @@ class Encoder:
         geo_bank: dict = {}
         attr_bank: dict = {}
         needed = [set(parent[i + 1 :]) for i in range(len(frames))] + [set()]
+        part_on = bool(cfg.enablePointCloudPartitioning)
         pending_seg = (
-            self.segment_dispatch(frames[0]) if frames and not gpa else None
+            self.segment_dispatch(frames[0])
+            if frames and not gpa and not part_on
+            else None
         )
         for i, f in enumerate(frames):
             seg = pending_seg
             # dispatch frame i+1 BEFORE consuming frame i's results: the
             # device pipelines the next segmentation under this frame's
             # host-side stages (patch gen, packing, entropy)
-            if i + 1 < len(frames) and not gpa:
+            if i + 1 < len(frames) and not gpa and not part_on:
                 pending_seg = self.segment_dispatch(frames[i + 1])
             if i == 0:
                 trefs = {"geo": None, "attr": None}
