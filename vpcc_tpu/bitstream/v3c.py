@@ -889,6 +889,334 @@ class SEIVolumetricRectangleInformation:
         return s
 
 
+# ---------------------------------------------------------------------------
+# generic / informative SEI set (reference PCCSei.h:43-1940 payload classes;
+# payload-type codes from PCCBitstreamCommon.h:229-247)
+
+SEI_BUFFERING_PERIOD = 0
+SEI_ATLAS_FRAME_TIMING = 1
+SEI_FILLER_PAYLOAD = 2
+SEI_USER_DATA_UNREGISTERED = 4
+SEI_RECOVERY_POINT = 5
+SEI_NO_RECONSTRUCTION = 6
+SEI_TIME_CODE = 7
+SEI_ACTIVE_SUB_BITSTREAMS = 10
+SEI_SCENE_OBJECT_INFORMATION = 12
+SEI_OBJECT_LABEL_INFORMATION = 13
+SEI_PATCH_INFORMATION = 14
+SEI_VIEWPORT_CAMERA_PARAMETERS = 17
+SEI_VIEWPORT_POSITION = 18
+
+
+@dataclasses.dataclass
+class SEIBufferingPeriod:
+    """HRD buffering period (reference SEIBufferingPeriod, PCCSei.h:
+    bp_* syntax; delays in 90 kHz ticks)."""
+
+    irap_cab_params_present_flag: int = 0
+    initial_delay: int = 0      # nominal CAB removal delay
+    initial_offset: int = 0
+
+    payload_type = SEI_BUFFERING_PERIOD
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(1, self.irap_cab_params_present_flag)
+        bw.u(32, self.initial_delay)
+        bw.u(32, self.initial_offset)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIBufferingPeriod":
+        s = cls()
+        s.irap_cab_params_present_flag = br.u(1)
+        s.initial_delay = br.u(32)
+        s.initial_offset = br.u(32)
+        return s
+
+
+@dataclasses.dataclass
+class SEIAtlasFrameTiming:
+    """Per-frame CAB removal / display delay (reference
+    SEIAtlasFrameTiming, aft_* syntax)."""
+
+    cab_removal_delay: int = 0
+    dab_output_delay: int = 0
+
+    payload_type = SEI_ATLAS_FRAME_TIMING
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(32, self.cab_removal_delay)
+        bw.u(32, self.dab_output_delay)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIAtlasFrameTiming":
+        s = cls()
+        s.cab_removal_delay = br.u(32)
+        s.dab_output_delay = br.u(32)
+        return s
+
+
+@dataclasses.dataclass
+class SEIUserDataUnregistered:
+    """Opaque user data with a 16-byte UUID (reference
+    SEIUserDataUnregistered, udu_* syntax)."""
+
+    uuid: bytes = b"\0" * 16
+    data: bytes = b""
+
+    payload_type = SEI_USER_DATA_UNREGISTERED
+
+    def write(self, bw: BitWriter) -> None:
+        bw.bytes_(self.uuid[:16].ljust(16, b"\0"))
+        bw.ue(len(self.data))
+        bw.bytes_(self.data)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIUserDataUnregistered":
+        s = cls()
+        s.uuid = br.bytes_(16)
+        s.data = br.bytes_(br.ue())
+        return s
+
+
+@dataclasses.dataclass
+class SEIRecoveryPoint:
+    """Random-access recovery marker (reference SEIRecoveryPoint, rp_*)."""
+
+    recovery_afoc: int = 0     # frame-order delta where recon is correct
+    exact_match_flag: int = 1
+    broken_link_flag: int = 0
+
+    payload_type = SEI_RECOVERY_POINT
+
+    def write(self, bw: BitWriter) -> None:
+        bw.se(self.recovery_afoc)
+        bw.u(1, self.exact_match_flag)
+        bw.u(1, self.broken_link_flag)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIRecoveryPoint":
+        s = cls()
+        s.recovery_afoc = br.se()
+        s.exact_match_flag = br.u(1)
+        s.broken_link_flag = br.u(1)
+        return s
+
+
+@dataclasses.dataclass
+class SEINoReconstruction:
+    """Frames not intended for display/reconstruction (reference
+    SEINoDisplay / no-reconstruction marker)."""
+
+    payload_type = SEI_NO_RECONSTRUCTION
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(1, 1)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEINoReconstruction":
+        br.u(1)
+        return cls()
+
+
+@dataclasses.dataclass
+class SEITimeCode:
+    """Clock timestamp of the frame (reference SEITimeCode, tc_*)."""
+
+    hours: int = 0
+    minutes: int = 0
+    seconds: int = 0
+    n_frames: int = 0
+
+    payload_type = SEI_TIME_CODE
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(5, self.hours)
+        bw.u(6, self.minutes)
+        bw.u(6, self.seconds)
+        bw.u(9, self.n_frames)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEITimeCode":
+        s = cls()
+        s.hours = br.u(5)
+        s.minutes = br.u(6)
+        s.seconds = br.u(6)
+        s.n_frames = br.u(9)
+        return s
+
+
+@dataclasses.dataclass
+class SEIActiveSubBitstreams:
+    """Which substreams are active for partial decode (reference
+    SEIActiveSubBitstreams, asb_* syntax)."""
+
+    active_attributes: List[int] = dataclasses.field(default_factory=list)
+    active_maps: List[int] = dataclasses.field(default_factory=list)
+    raw_points_active_flag: int = 1
+
+    payload_type = SEI_ACTIVE_SUB_BITSTREAMS
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(len(self.active_attributes))
+        for a in self.active_attributes:
+            bw.u(7, a)
+        bw.ue(len(self.active_maps))
+        for m in self.active_maps:
+            bw.u(4, m)
+        bw.u(1, self.raw_points_active_flag)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIActiveSubBitstreams":
+        s = cls()
+        s.active_attributes = [br.u(7) for _ in range(br.ue())]
+        s.active_maps = [br.u(4) for _ in range(br.ue())]
+        s.raw_points_active_flag = br.u(1)
+        return s
+
+
+@dataclasses.dataclass
+class SEISceneObjectInformation:
+    """Scene objects with optional 3D bounding boxes (reference
+    SEISceneObjectInformation, soi_* syntax; subset: idx + bbox)."""
+
+    # (object_idx, (x, y, z, dx, dy, dz) | None)
+    objects: List[Tuple[int, "Tuple[int, ...] | None"]] = dataclasses.field(
+        default_factory=list
+    )
+
+    payload_type = SEI_SCENE_OBJECT_INFORMATION
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(len(self.objects))
+        for oi, bbox in self.objects:
+            bw.ue(oi)
+            bw.u(1, 0 if bbox is None else 1)
+            if bbox is not None:
+                for c in bbox:
+                    bw.ue(int(c))
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEISceneObjectInformation":
+        s = cls()
+        for _ in range(br.ue()):
+            oi = br.ue()
+            bbox = tuple(br.ue() for _ in range(6)) if br.u(1) else None
+            s.objects.append((oi, bbox))
+        return s
+
+
+@dataclasses.dataclass
+class SEIObjectLabelInformation:
+    """Object labels (reference SEIObjectLabelInformation, oli_*)."""
+
+    labels: List[Tuple[int, str]] = dataclasses.field(default_factory=list)
+
+    payload_type = SEI_OBJECT_LABEL_INFORMATION
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(len(self.labels))
+        for idx, text in self.labels:
+            bw.ue(idx)
+            raw = text.encode()
+            bw.ue(len(raw))
+            bw.bytes_(raw)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIObjectLabelInformation":
+        s = cls()
+        for _ in range(br.ue()):
+            idx = br.ue()
+            s.labels.append((idx, br.bytes_(br.ue()).decode()))
+        return s
+
+
+@dataclasses.dataclass
+class SEIPatchInformation:
+    """Patch-to-object association (reference SEIPatchInformation, pi_*
+    subset: per (tile, patch) an object id)."""
+
+    # (tile_id, patch_idx, object_idx)
+    entries: List[Tuple[int, int, int]] = dataclasses.field(
+        default_factory=list
+    )
+
+    payload_type = SEI_PATCH_INFORMATION
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(len(self.entries))
+        for t, p, o in self.entries:
+            bw.ue(t)
+            bw.ue(p)
+            bw.ue(o)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIPatchInformation":
+        s = cls()
+        s.entries = [(br.ue(), br.ue(), br.ue()) for _ in range(br.ue())]
+        return s
+
+
+@dataclasses.dataclass
+class SEIViewportCameraParameters:
+    """Recommended-viewport camera intrinsics (reference
+    SEIViewportCameraParameters, vcp_* subset)."""
+
+    camera_id: int = 0
+    camera_type: int = 0          # 0 equirect, 1 perspective, 2 ortho
+    erp_horizontal_fov: int = 0   # units of 180/256 deg
+    erp_vertical_fov: int = 0
+    clipping_near_q16: int = 1 << 16
+    clipping_far_q16: int = 1 << 24
+
+    payload_type = SEI_VIEWPORT_CAMERA_PARAMETERS
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(10, self.camera_id)
+        bw.u(3, self.camera_type)
+        bw.u(8, self.erp_horizontal_fov)
+        bw.u(8, self.erp_vertical_fov)
+        bw.u(32, self.clipping_near_q16)
+        bw.u(32, self.clipping_far_q16)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIViewportCameraParameters":
+        s = cls()
+        s.camera_id = br.u(10)
+        s.camera_type = br.u(3)
+        s.erp_horizontal_fov = br.u(8)
+        s.erp_vertical_fov = br.u(8)
+        s.clipping_near_q16 = br.u(32)
+        s.clipping_far_q16 = br.u(32)
+        return s
+
+
+@dataclasses.dataclass
+class SEIViewportPosition:
+    """Recommended-viewport pose (reference SEIViewportPosition, vp_*
+    subset: position + quaternion in Q16)."""
+
+    camera_id: int = 0
+    position_q16: Tuple[int, int, int] = (0, 0, 0)
+    quaternion_q14: Tuple[int, int, int] = (0, 0, 0)  # x, y, z (w derived)
+
+    payload_type = SEI_VIEWPORT_POSITION
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(10, self.camera_id)
+        for c in self.position_q16:
+            bw.u(32, c & 0xFFFFFFFF)
+        for c in self.quaternion_q14:
+            bw.u(16, c & 0xFFFF)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SEIViewportPosition":
+        s = cls()
+        s.camera_id = br.u(10)
+        s.position_q16 = tuple(br.u(32) for _ in range(3))
+        s.quaternion_q14 = tuple(br.u(16) for _ in range(3))
+        return s
+
+
 _SEI_CLASSES = {
     SEI_GEOMETRY_SMOOTHING: SEIGeometrySmoothing,
     SEI_ATTRIBUTE_SMOOTHING: SEIAttributeSmoothing,
@@ -896,6 +1224,18 @@ _SEI_CLASSES = {
     SEI_COMPONENT_CODEC_MAPPING: SEIComponentCodecMapping,
     SEI_ATTRIBUTE_TRANSFORMATION_PARAMS: SEIAttributeTransformationParams,
     SEI_VOLUMETRIC_RECTANGLE_INFORMATION: SEIVolumetricRectangleInformation,
+    SEI_BUFFERING_PERIOD: SEIBufferingPeriod,
+    SEI_ATLAS_FRAME_TIMING: SEIAtlasFrameTiming,
+    SEI_USER_DATA_UNREGISTERED: SEIUserDataUnregistered,
+    SEI_RECOVERY_POINT: SEIRecoveryPoint,
+    SEI_NO_RECONSTRUCTION: SEINoReconstruction,
+    SEI_TIME_CODE: SEITimeCode,
+    SEI_ACTIVE_SUB_BITSTREAMS: SEIActiveSubBitstreams,
+    SEI_SCENE_OBJECT_INFORMATION: SEISceneObjectInformation,
+    SEI_OBJECT_LABEL_INFORMATION: SEIObjectLabelInformation,
+    SEI_PATCH_INFORMATION: SEIPatchInformation,
+    SEI_VIEWPORT_CAMERA_PARAMETERS: SEIViewportCameraParameters,
+    SEI_VIEWPORT_POSITION: SEIViewportPosition,
 }
 
 

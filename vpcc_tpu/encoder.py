@@ -1126,6 +1126,29 @@ class Encoder:
         # the PTL signals (reference COMPONENT_CODEC_MAPPING,
         # PCCBitstreamCommon.h:165,240)
         prefix_seis.append(v3c.SEIComponentCodecMapping())
+        # HRD/timing + access SEIs (reference PCCSei.h buffering/timing
+        # classes; a streaming consumer's minimum set)
+        prefix_seis.append(v3c.SEIBufferingPeriod(initial_delay=90000 // 30))
+        prefix_seis.append(v3c.SEIAtlasFrameTiming())
+        prefix_seis.append(v3c.SEIRecoveryPoint(recovery_afoc=0))
+        prefix_seis.append(v3c.SEIActiveSubBitstreams(
+            active_attributes=list(range(n_attr_maps))
+            + ([1] if encoded[0].reflectance_payload is not None else []),
+            active_maps=list(range(n_geo_maps)),
+            raw_points_active_flag=1 if cfg.rawPointsPatch else 0,
+        ))
+        # scene-object SEI: object 0 = the whole cloud with its 3D box
+        # (reference SEISceneObjectInformation/SEIObjectLabelInformation)
+        rp = encoded[0].recon.positions
+        if len(rp):
+            lo3 = np.asarray(rp).min(0).astype(np.int64)
+            hi3 = np.asarray(rp).max(0).astype(np.int64)
+            prefix_seis.append(v3c.SEISceneObjectInformation(objects=[
+                (0, tuple(int(v) for v in np.concatenate([lo3, hi3 - lo3 + 1])))
+            ]))
+            prefix_seis.append(v3c.SEIObjectLabelInformation(
+                labels=[(0, "pointcloud")]
+            ))
         # volumetric-rectangle SEI: the patch bounding rectangle per GOF
         # (object 0 = the whole cloud; partial-access consumers crop by it)
         occ_res = cfg.occupancyResolution
