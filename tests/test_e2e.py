@@ -628,3 +628,32 @@ def test_point_cloud_partitioning_roi():
         res[cuts] = m.c2c_psnr
     # 2x2 ROI split must hold D1 within 1 dB of the unpartitioned run
     assert res[1] > res[0] - 1.0, res
+
+
+def test_lod_patch_scaling():
+    """LOD patch scaling (reference PCCPatch lod scale + pdu lod syntax):
+    levelOfDetail 2x2 subsamples every patch, cutting rate hard at a
+    quality cost, with encoder/decoder parity."""
+    import numpy as np
+    src = make_sphere_cloud(bits=7, n_samples=25000)
+    res = {}
+    for lod in (1, 2):
+        cfg = small_cfg(geometryQP=22, attributeQP=30)
+        cfg.levelOfDetailX = lod
+        cfg.levelOfDetailY = lod
+        enc = Encoder(cfg)
+        stream, recons = enc.encode_gof([src])
+        decoded = Decoder().decode(stream)
+        a, b = recons[0], decoded[0]
+        assert a.point_count == b.point_count
+        ka = np.lexsort(a.positions.T)
+        kb = np.lexsort(b.positions.T)
+        np.testing.assert_array_equal(a.positions[ka], b.positions[kb])
+        m = compute_metrics(
+            src.positions.astype(np.int32), src.colors,
+            decoded[0].positions.astype(np.int32), decoded[0].colors,
+            resolution=127, grid_bits=7,
+        )
+        res[lod] = (len(stream), m.c2c_psnr)
+    assert res[2][0] < res[1][0] * 0.7, res   # >=30% fewer bytes
+    assert res[2][1] > 20.0, res              # still a point cloud

@@ -204,6 +204,10 @@ class PatchDataUnit:
     plr_level: int = 1
     plr_mode: int = 0
     plr_block_modes: Optional[np.ndarray] = None  # patch-space raster
+    # LOD scaling (reference pdu_lod_enable_flag / pdu_lod_scale_x_minus1 /
+    # pdu_lod_scale_y_idc)
+    lod_x: int = 1
+    lod_y: int = 1
 
     def fields(self):
         return (
@@ -225,6 +229,11 @@ class PatchDataUnit:
         bw.u(4, self.orientation)
         bw.ue(self.size_u)
         bw.ue(self.size_v)
+        lod_on = int(self.lod_x > 1 or self.lod_y > 1)
+        bw.u(1, lod_on)
+        if lod_on:
+            bw.ue(self.lod_x - 1)
+            bw.ue(self.lod_y - 1)
 
     @classmethod
     def read(cls, br: BitReader) -> "PatchDataUnit":
@@ -241,6 +250,9 @@ class PatchDataUnit:
         p.orientation = br.u(4)
         p.size_u = br.ue()
         p.size_v = br.ue()
+        if br.u(1):
+            p.lod_x = br.ue() + 1
+            p.lod_y = br.ue() + 1
         return p
 
 

@@ -40,6 +40,7 @@ PATCH_FIELDS = (
     "u0", "v0", "size_u0", "size_v0", "u1", "v1", "d1",
     "normal_axis", "tangent_axis", "bitangent_axis",
     "projection_mode", "orientation", "axis_of_additional_plane", "geo_bits",
+    "lod_x", "lod_y",
 )
 
 

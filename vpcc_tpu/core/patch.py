@@ -122,6 +122,11 @@ class Patch:
     plr_level: int = 1
     plr_mode: int = 0
     plr_block_modes: Optional[np.ndarray] = None
+    # LOD patch scaling (reference PCCPatch getLodScaleX/Y; pdu_lod_*
+    # syntax): patch-local u/v are subsampled by these factors and the
+    # reconstruction multiplies them back
+    lod_x: int = 1
+    lod_y: int = 1
 
     def __post_init__(self):
         res = self.occupancy_resolution
@@ -204,8 +209,8 @@ class Patch:
     def _uvd_to_xyz(self, u, v, d_abs):
         pts = np.zeros((len(u), 3), np.int64)
         pts[:, self.normal_axis] = d_abs
-        pts[:, self.tangent_axis] = u + self.u1
-        pts[:, self.bitangent_axis] = v + self.v1
+        pts[:, self.tangent_axis] = u * self.lod_x + self.u1
+        pts[:, self.bitangent_axis] = v * self.lod_y + self.v1
         if self.axis_of_additional_plane:
             pts = inverse_rotate45(
                 pts, self.axis_of_additional_plane, self.geo_bits
@@ -247,10 +252,16 @@ def build_patch_from_component(
             return None
 
     u1, v1 = int(u_abs.min()), int(v_abs.min())
-    size_u = int(u_abs.max()) - u1 + 1
-    size_v = int(v_abs.max()) - v1 + 1
-    u = (u_abs - u1).astype(np.int64)
-    v = (v_abs - v1).astype(np.int64)
+    # LOD scaling (reference levelOfDetailX/Y -> pdu lod syntax): local
+    # u/v subsample by the scale; reconstruction multiplies back, so the
+    # coded patch shrinks by lodx*lody at the cost of dropped lattice
+    # positions (a CTC low-rate tool)
+    lod_x = max(int(getattr(cfg, "levelOfDetailX", 1)), 1)
+    lod_y = max(int(getattr(cfg, "levelOfDetailY", 1)), 1)
+    u = ((u_abs - u1) // lod_x).astype(np.int64)
+    v = ((v_abs - v1) // lod_y).astype(np.int64)
+    size_u = int(u.max()) + 1
+    size_v = int(v.max()) + 1
     pix = v * size_u + u
 
     # --- D0: nearest-depth scatter, with winning point id for color gating
@@ -381,6 +392,8 @@ def build_patch_from_component(
         depth0=d0_map.astype(np.int32),
         depth1=d1_map.astype(np.int32),
         eom=eom_map,
+        lod_x=lod_x,
+        lod_y=lod_y,
         axis_of_additional_plane=add_axis,
         geo_bits=cfg.geometryBitDepth3D,
     )

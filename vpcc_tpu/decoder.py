@@ -56,6 +56,8 @@ def _pdu_to_patch(pdu: v3c.PatchDataUnit, index: int, vps: v3c.V3CParameterSet) 
         plr_level=pdu.plr_level,
         plr_mode=pdu.plr_mode,
         plr_block_modes=pdu.plr_block_modes,
+        lod_x=pdu.lod_x,
+        lod_y=pdu.lod_y,
     )
     return p
 

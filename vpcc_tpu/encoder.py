@@ -1256,4 +1256,6 @@ def _patch_to_pdu(p: Patch, cfg: VPCCConfig) -> v3c.PatchDataUnit:
         plr_level=p.plr_level,
         plr_mode=p.plr_mode,
         plr_block_modes=p.plr_block_modes,
+        lod_x=p.lod_x,
+        lod_y=p.lod_y,
     )

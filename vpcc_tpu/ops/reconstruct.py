@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 # column indices of the patch table (core/atlas.py PATCH_FIELDS)
 (_U0, _V0, _SU0, _SV0, _U1, _V1, _D1, _NA, _TA, _BA, _MODE, _OR,
- _AXIS45, _GBITS) = range(14)
+ _AXIS45, _GBITS, _LODX, _LODY) = range(16)
 
 
 def _canvas_to_patch_uv(lx, ly, su, sv, orient):
@@ -103,8 +103,9 @@ def generate_point_cloud(
     dabs0 = jnp.where(mode == 0, d1 + geometry0, jnp.maximum(d1 - geometry0, 0))
     dabs1 = jnp.where(mode == 0, d1 + geometry1, jnp.maximum(d1 - geometry1, 0))
 
-    tang = u + prm[..., _U1]
-    bitang = v + prm[..., _V1]
+    # LOD scaling back to lattice coordinates (reference pdu lod syntax)
+    tang = u * jnp.maximum(prm[..., _LODX], 1) + prm[..., _U1]
+    bitang = v * jnp.maximum(prm[..., _LODY], 1) + prm[..., _V1]
 
     ax45 = prm[..., _AXIS45]
     s45 = (1 << prm[..., _GBITS]) - 1

@@ -66,6 +66,8 @@ class VPCCConfig:
     partialAdditionalProjectionPlane: float = 0.0
     enablePatchSplitting: int = 1
     maxPatchSize: int = 1024
+    levelOfDetailX: int = 1
+    levelOfDetailY: int = 1
     weightNormalX: float = 1.0
     weightNormalY: float = 1.0
     weightNormalZ: float = 1.0
