@@ -887,8 +887,18 @@ class Encoder:
                 qp_off[f] = min(1 + (gop // low).bit_length() - 1, 5)
         return parent, qp_off
 
-    def encode_gof(self, frames: List[PointCloudData]) -> Tuple[bytes, List[PointCloudData]]:
+    def encode_gof(
+        self,
+        frames: List[PointCloudData],
+        mesh=None,
+        parallel: bool = False,
+    ) -> Tuple[bytes, List[PointCloudData]]:
         """Encode a group of frames into one V3C sample stream.
+
+        mesh / parallel=True: run the level-parallel production pipeline
+        (parallel/gof.encode_gof_mesh) — every video dispatch and recolor
+        sweep batches one GOP-hierarchy level and shards over the mesh,
+        emitting a BYTE-IDENTICAL stream to the sequential path.
 
         Frame 0 is an I-frame; later frames use temporally-consistent packing
         (reference: spatialConsistencyPackFlexible, PCCEncoder.cpp:1183) and
@@ -896,6 +906,10 @@ class Encoder:
         prediction structure (hierarchical RA vs low-delay chain) comes from
         `gof_structure`; every P frame references its tree parent's DECODED
         maps and patch list."""
+        if mesh is not None or parallel:
+            from vpcc_tpu.parallel.gof import encode_gof_mesh
+
+            return encode_gof_mesh(self, frames, mesh)
         cfg = self.cfg
         streams = self._new_streams()
         encoded = []
@@ -985,6 +999,14 @@ class Encoder:
             for bank in (geo_bank, attr_bank):
                 for k in [k for k in bank if k not in needed[i]]:
                     del bank[k]
+        return self._mux_gof(encoded, frames, parent, gpa=gpa)
+
+    def _mux_gof(self, encoded, frames, parent, gpa: bool = False):
+        """Assemble the V3C sample stream from per-frame results —
+        shared by the sequential path and the level-parallel mesh path
+        (parallel/gof.encode_gof_mesh), which must emit identical
+        bytes."""
+        cfg = self.cfg
         width = max(e.width for e in encoded)
         height = max(e.height for e in encoded)
 

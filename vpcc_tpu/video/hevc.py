@@ -1362,6 +1362,74 @@ def _round_int_plane(plane, occ):
     return jnp.round(x).astype(jnp.int32)
 
 
+def assemble_payload32(H, W, P, qps, maxvals, has_ref, deblock, motion,
+                       ty, tx, s32_h, m32_h, c32_h, s16_h, modes_h, c16_h,
+                       mv_h, sao_cls_h, sao_off_h) -> bytes:
+    """Three-level payload assembly from HOST syntax arrays — the single
+    source of payload bytes for both the per-frame `encode_planes` path
+    and the level-batched mesh path (parallel/gof.py), which slices the
+    batched builder outputs per frame and must produce byte-identical
+    streams."""
+    Hp, Wp = _padded_dims(H, W, ty, tx, CU32)
+    s32_h = s32_h.astype(np.int32)
+    m32_h = m32_h.astype(np.int32)
+    c32_h = c32_h.astype(np.int32)
+    s16_h = s16_h.astype(np.int32)
+    modes_h = modes_h.astype(np.int32)
+    c16_h = c16_h.astype(np.int32)
+    mv_h = mv_h.astype(np.int32)
+    sao_h = np.concatenate(
+        [sao_cls_h.astype(np.int32)[..., None], sao_off_h.astype(np.int32)],
+        axis=-1,
+    )  # (PT, ry, rx, 5)
+    nby, nbx = Hp // ty // CU32, Wp // tx // CU32
+    flags = (
+        (FLAG_INTER if has_ref else 0)
+        | (FLAG_DEBLOCK if deblock else 0)
+        | (FLAG_MC if motion else 0)
+        | FLAG_CU32
+    )
+    T = ty * tx
+    out = bytearray()
+    out += struct.pack("<HHBBBB", H, W, P, flags, ty, tx)
+    for p in range(P):
+        out += struct.pack("<BH", int(qps[p]), int(maxvals[p]))
+        sl = slice(p * T, (p + 1) * T)
+        blob = entropy.encode_hevc32_plane(
+            T * nby, nbx,
+            s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
+            c32_h[sl].reshape(-1, CC32),
+            s16_h[sl].reshape(-1, 4),
+            modes_h[sl].reshape(-1, 4, 4)[:, :, 0],
+            c16_h[sl].reshape(-1, 4, CC),
+            modes_h[sl].reshape(-1, 4, 4),
+            c16_h[sl].reshape(-1, 4, 4, SUB * SUB),
+        )
+        out += struct.pack("<I", len(blob))
+        out += blob
+        if motion:
+            mvblob = entropy.encode_mvs(
+                _inter_flags32(
+                    s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
+                    s16_h[sl].reshape(-1, 4),
+                    modes_h[sl].reshape(-1, 4, 4),
+                ),
+                mv_h[sl].reshape(-1, 2),
+            )
+            out += struct.pack("<I", len(mvblob))
+            out += mvblob
+        # SAO params (class + 4 offsets per 32x32 region), coded with the
+        # adaptive coefficient syntax (off regions are near-free)
+        flat = sao_h[sl].reshape(-1)
+        nb64 = (flat.size + 63) // 64
+        sao_pad = np.zeros((nb64, 64), np.int32)
+        sao_pad.reshape(-1)[: flat.size] = flat
+        sb = entropy.encode_coeffs(sao_pad)
+        out += struct.pack("<I", len(sb))
+        out += sb
+    return bytes(out)
+
+
 def encode_planes(
     planes,
     qps,
@@ -1437,67 +1505,12 @@ def encode_planes(
             # closure blocks on them and runs the host entropy coder — with
             # defer=True the caller invokes it AFTER queueing the frame's
             # remaining device work, hiding the slow tunnel behind compute
-            s32_h = np.asarray(s32).astype(np.int32)
-            m32_h = np.asarray(m32).astype(np.int32)
-            c32_h = np.asarray(c32).astype(np.int32)
-            s16_h = np.asarray(s16).astype(np.int32)
-            modes_h = np.asarray(modes).astype(np.int32)
-            c16_h = np.asarray(c16).astype(np.int32)
-            mv_h = np.asarray(mvs).astype(np.int32)
-            sao_h = np.concatenate(
-                [
-                    np.asarray(sao_cls).astype(np.int32)[..., None],
-                    np.asarray(sao_off).astype(np.int32),
-                ],
-                axis=-1,
-            )  # (PT, ry, rx, 5)
-            nby, nbx = Hp // ty // CU32, Wp // tx // CU32
-            flags = (
-                (FLAG_INTER if has_ref else 0)
-                | (FLAG_DEBLOCK if deblock else 0)
-                | (FLAG_MC if motion else 0)
-                | FLAG_CU32
+            return assemble_payload32(
+                H, W, P, qps, maxvals, has_ref, deblock, motion, ty, tx,
+                np.asarray(s32), np.asarray(m32), np.asarray(c32),
+                np.asarray(s16), np.asarray(modes), np.asarray(c16),
+                np.asarray(mvs), np.asarray(sao_cls), np.asarray(sao_off),
             )
-            T = ty * tx
-            out = bytearray()
-            out += struct.pack("<HHBBBB", H, W, P, flags, ty, tx)
-            for p in range(P):
-                out += struct.pack("<BH", int(qps[p]), int(maxvals[p]))
-                sl = slice(p * T, (p + 1) * T)
-                blob = entropy.encode_hevc32_plane(
-                    T * nby, nbx,
-                    s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
-                    c32_h[sl].reshape(-1, CC32),
-                    s16_h[sl].reshape(-1, 4),
-                    modes_h[sl].reshape(-1, 4, 4)[:, :, 0],
-                    c16_h[sl].reshape(-1, 4, CC),
-                    modes_h[sl].reshape(-1, 4, 4),
-                    c16_h[sl].reshape(-1, 4, 4, SUB * SUB),
-                )
-                out += struct.pack("<I", len(blob))
-                out += blob
-                if motion:
-                    mvblob = entropy.encode_mvs(
-                        _inter_flags32(
-                            s32_h[sl].reshape(-1), m32_h[sl].reshape(-1),
-                            s16_h[sl].reshape(-1, 4),
-                            modes_h[sl].reshape(-1, 4, 4),
-                        ),
-                        mv_h[sl].reshape(-1, 2),
-                    )
-                    out += struct.pack("<I", len(mvblob))
-                    out += mvblob
-                # SAO params (class + 4 offsets per 32x32 region), coded
-                # with the adaptive coefficient syntax (off regions are
-                # near-free)
-                flat = sao_h[sl].reshape(-1)
-                nb64 = (flat.size + 63) // 64
-                sao_pad = np.zeros((nb64, 64), np.int32)
-                sao_pad.reshape(-1)[: flat.size] = flat
-                sb = entropy.encode_coeffs(sao_pad)
-                out += struct.pack("<I", len(sb))
-                out += sb
-            return bytes(out)
 
         if defer:
             return finalize, rec
