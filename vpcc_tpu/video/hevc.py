@@ -438,37 +438,61 @@ def _apply_motion_half(ref, mv, R: int, nby: int, nbx: int, bs: int,
     return jax.vmap(lambda p, f, a, b: p[f, a, b])(padr, fi, iy, ix)
 
 
+def _sad_sub(a, b, nby, nbx, bs):
+    """Per-CU SAD on the 2x subsampled pixel lattice (decision-only; the
+    chosen MV's prediction is still built full-res, so enc/dec parity is
+    untouched).  a/b: (P, nby*bs/2, nbx*bs/2)."""
+    P = a.shape[0]
+    h = bs // 2
+    return (
+        jnp.abs(a - b)
+        .reshape(P, nby, h, nbx, h).sum((2, 4)).reshape(P, nby * nbx)
+        .astype(jnp.float32)
+    )
+
+
+def _apply_motion_half_sub(planes_pad, mv, R, nby, nbx, bs):
+    """Candidate prediction sampled at even pixels only — 1/4 the gather
+    traffic of the full-plane apply (planes_pad: (P, 4, H+2R, W+2R))."""
+    P = planes_pad.shape[0]
+    Hp = (planes_pad.shape[2] - 2 * R)
+    Wp = (planes_pad.shape[3] - 2 * R)
+    yy = jnp.arange(0, Hp, 2, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(0, Wp, 2, dtype=jnp.int32)[None, :]
+    bi = (yy // bs) * nbx + (xx // bs)
+    mvy = mv[:, :, 0][:, bi]
+    mvx = mv[:, :, 1][:, bi]
+    fi = (mvy & 1) * 2 + (mvx & 1)
+    iy = jnp.clip(yy[None] + R + (mvy >> 1), 0, Hp + 2 * R - 1)
+    ix = jnp.clip(xx[None] + R + (mvx >> 1), 0, Wp + 2 * R - 1)
+    return jax.vmap(lambda p, f, a, b: p[f, a, b])(planes_pad, fi, iy, ix)
+
+
 def _motion_search_half(src, ref, lam, R: int, nby: int, nbx: int,
                         bs: int, maxvals):
     """Integer full-window search + half-pel refinement: the 8 half-pel
     neighbors of the best integer MV are evaluated per CU against the
-    interpolated planes; returns HALF-PEL-unit (mv (P, nb, 2) i32,
-    mvcost (P, nb) f32)."""
+    interpolated planes on a 2x subsampled lattice (RD decision only);
+    returns HALF-PEL-unit (mv (P, nb, 2) i32, mvcost (P, nb) f32)."""
     mv_i, cost_i = _motion_search(src, ref, lam, R, nby, nbx, bs)
     P, Hp, Wp = src.shape
-    nb = nby * nbx
-    srcf = src.astype(jnp.int32)
+    src_sub = src[:, ::2, ::2].astype(jnp.int32)
+    planes = _half_planes(ref, maxvals)                      # (4, P, H, W)
+    planes_pad = jnp.pad(
+        planes, ((0, 0), (0, 0), (R, R), (R, R)), mode="edge"
+    ).transpose(1, 0, 2, 3)
     best_mv = mv_i * 2
-    # refinement SAD of the integer winner (baseline to beat)
-    pred0 = _apply_motion(ref, mv_i, R, nby, nbx, bs)
-    sad0 = (
-        jnp.abs(srcf - pred0)
-        .reshape(P, nby, bs, nbx, bs).sum((2, 4)).reshape(P, nb)
-        .astype(jnp.float32)
-    )
-    best_cost = sad0
-    half_bit = lam[:, None] * 2.0  # ~2 extra bins for the fractional part
+    pred0 = _apply_motion_half_sub(planes_pad, best_mv, R, nby, nbx, bs)
+    best_cost = _sad_sub(src_sub, pred0, nby, nbx, bs)
+    # ~2 extra bins for the fractional part, at subsampled-SAD scale (1/4)
+    half_bit = lam[:, None] * 0.5
     for dy2 in (-1, 0, 1):
         for dx2 in (-1, 0, 1):
             if dy2 == 0 and dx2 == 0:
                 continue
             cand = mv_i * 2 + jnp.asarray([dy2, dx2], jnp.int32)
-            pred = _apply_motion_half(ref, cand, R, nby, nbx, bs, maxvals)
-            sad = (
-                jnp.abs(srcf - pred)
-                .reshape(P, nby, bs, nbx, bs).sum((2, 4)).reshape(P, nb)
-                .astype(jnp.float32)
-            ) + half_bit
+            pred = _apply_motion_half_sub(planes_pad, cand, R, nby, nbx, bs)
+            sad = _sad_sub(src_sub, pred, nby, nbx, bs) + half_bit
             better = sad < best_cost
             best_cost = jnp.where(better, sad, best_cost)
             best_mv = jnp.where(better[:, :, None], cand, best_mv)
