@@ -90,3 +90,37 @@ def test_push_pull_fill():
     # occupied pixels unchanged; holes close to the occupied value
     np.testing.assert_array_equal(filled[8:16, 8:16], img[8:16, 8:16])
     assert np.abs(filled[~occ] - 100.0).max() < 1e-3
+
+
+def test_color_filter_banks():
+    """Selectable chroma resampling filters (reference g_filter444to420 /
+    g_filter420to444 tap tables, PCCInternalColorConverter.cpp:37-330):
+    unit DC gain, and the longer filters beat the box filter on a smooth
+    chroma ramp round trip."""
+    import numpy as np
+    from vpcc_tpu.video import color
+
+    flat = np.full((64, 64), 77.0)
+    for f in color.DOWN_FILTERS:
+        d = color.downsample_420_filter(flat, f)
+        assert d.shape == (32, 32)
+        np.testing.assert_allclose(d, 77.0, atol=0.51), f
+    for f in color.UP_FILTERS:
+        u = color.upsample_420_filter(flat[:32, :32], f)
+        assert u.shape == (64, 64)
+        np.testing.assert_allclose(u, 77.0, atol=1.01), f
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    ramp = 60 + 40 * np.sin(xx / 6.0) + 30 * np.cos(yy / 7.0)
+
+    def rt(df, uf):
+        d = color.downsample_420_filter(ramp, df)
+        u = color.upsample_420_filter(d, uf)
+        return float(((u - ramp) ** 2).mean())
+
+    import jax.numpy as jnp
+    box = float(np.asarray(
+        (np.asarray(color.upsample_420(color.downsample_420(
+            jnp.asarray(ramp)))) - ramp) ** 2
+    ).mean())
+    assert rt(2, 3) < box, (rt(2, 3), box)   # TM5 down + LS3 up beats box

@@ -27,26 +27,35 @@ def main(argv=None) -> int:
         return 1
     mode, inp, outp = pos[:3]
     use420 = cfg.extra.get("f420", "0") == "1"
+    # selectable chroma resampling filter banks (reference
+    # g_filter444to420/g_filter420to444 indexes; 0 = F0 default)
+    dfilt = int(cfg.extra.get("downsampleFilter", "0"))
+    ufilt = int(cfg.extra.get("upsampleFilter", "0"))
     x = np.load(inp)
     if mode == "rgb2ycc":
         ycc = color.rgb_to_ycbcr(jnp.asarray(x))
         if use420:
             y = np.asarray(ycc[..., 0])
-            cb = np.asarray(color.downsample_420(ycc[..., 1]))
-            cr = np.asarray(color.downsample_420(ycc[..., 2]))
+            if dfilt == 0:
+                cb = np.asarray(color.downsample_420(ycc[..., 1]))
+                cr = np.asarray(color.downsample_420(ycc[..., 2]))
+            else:
+                cb = color.downsample_420_filter(np.asarray(ycc[..., 1]), dfilt)
+                cr = color.downsample_420_filter(np.asarray(ycc[..., 2]), dfilt)
             np.savez(outp, y=y, cb=cb, cr=cr)
         else:
             np.save(outp, np.asarray(ycc))
     elif mode == "ycc2rgb":
         if inp.endswith(".npz"):
             z = np.load(inp)
+            if ufilt == 0:
+                up = lambda p: color.upsample_420(jnp.asarray(p))
+            else:
+                up = lambda p: jnp.asarray(
+                    color.upsample_420_filter(np.asarray(p), ufilt)
+                )
             ycc = jnp.stack(
-                [
-                    jnp.asarray(z["y"]),
-                    color.upsample_420(jnp.asarray(z["cb"])),
-                    color.upsample_420(jnp.asarray(z["cr"])),
-                ],
-                axis=-1,
+                [jnp.asarray(z["y"]), up(z["cb"]), up(z["cr"])], axis=-1
             )
         else:
             ycc = jnp.asarray(np.load(inp))
