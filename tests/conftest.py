@@ -19,7 +19,30 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# CPU test runs must NOT load persistent-cache executables: entries
+# produced through the axon remote-compile service are built with CPU
+# features (+prefer-no-scatter/+prefer-no-gather tuning against a newer
+# ISA) this host lacks, and intermittently abort/SIGILL mid-suite.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the suite's memory: XLA CPU keeps every compiled executable
+    and its constants alive; on this 2-CPU / limited-RAM box the
+    accumulated footprint segfaults native allocations late in the suite.
+    Dropping compiled programs between modules trades recompiles for a
+    bounded high-water mark."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -30,6 +30,9 @@ def test_bench_regime_rd_and_parity():
         f for f in flags.split() if "host_platform_device_count" not in f
     )
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # restore the persistent compile cache for the TPU child (the CPU
+    # conftest blanks it; TPU executables are device code and safe)
+    env["JAX_COMPILATION_CACHE_DIR"] = str(REPO / ".jax_cache")
     proc = subprocess.run(
         [sys.executable, str(REPO / "tests" / "bench_gate_child.py")],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1740,

@@ -140,12 +140,12 @@ def test_ignored_option_report():
     from vpcc_tpu.utils.config import VPCCConfig
 
     cfg = VPCCConfig()
-    cfg.set_option("levelOfDetailX", "2")
+    cfg.set_option("someFutureUnimplementedTool", "2")
     cfg.set_option("colorSpaceConversionConfig", "x.cfg")  # external-tool path
     msgs = []
     ignored = cfg.report_ignored(log=msgs.append)
-    assert ignored == ["levelOfDetailX"]
-    assert "levelOfDetailX=2" in msgs[0]
+    assert ignored == ["someFutureUnimplementedTool"]
+    assert "someFutureUnimplementedTool=2" in msgs[0]
     # a clean config stays silent
     assert VPCCConfig().report_ignored(log=msgs.append) == []
 

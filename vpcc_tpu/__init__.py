@@ -38,8 +38,12 @@ if _jax.config.jax_compilation_cache_dir is None:
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")),
     )
-    _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # an explicitly EMPTY env value opts out (the test conftest does this:
+    # AOT CPU executables from the remote compile service carry CPU
+    # features this host lacks and intermittently SIGILL/abort)
+    if _cache:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from vpcc_tpu.utils.config import VPCCConfig  # noqa: F401
