@@ -484,18 +484,17 @@ def _motion_search_half(src, ref, lam, R: int, nby: int, nbx: int,
     best_mv = mv_i * 2
     pred0 = _apply_motion_half_sub(planes_pad, best_mv, R, nby, nbx, bs)
     best_cost = _sad_sub(src_sub, pred0, nby, nbx, bs)
-    # ~2 extra bins for the fractional part, at subsampled-SAD scale (1/4)
+    # ~2 extra bins for the fractional part, at subsampled-SAD scale (1/4).
+    # Plus-shaped candidate set (the HM ladder's first refinement ring);
+    # diagonal half-pel positions rarely win and double the gather cost.
     half_bit = lam[:, None] * 0.5
-    for dy2 in (-1, 0, 1):
-        for dx2 in (-1, 0, 1):
-            if dy2 == 0 and dx2 == 0:
-                continue
-            cand = mv_i * 2 + jnp.asarray([dy2, dx2], jnp.int32)
-            pred = _apply_motion_half_sub(planes_pad, cand, R, nby, nbx, bs)
-            sad = _sad_sub(src_sub, pred, nby, nbx, bs) + half_bit
-            better = sad < best_cost
-            best_cost = jnp.where(better, sad, best_cost)
-            best_mv = jnp.where(better[:, :, None], cand, best_mv)
+    for dy2, dx2 in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        cand = mv_i * 2 + jnp.asarray([dy2, dx2], jnp.int32)
+        pred = _apply_motion_half_sub(planes_pad, cand, R, nby, nbx, bs)
+        sad = _sad_sub(src_sub, pred, nby, nbx, bs) + half_bit
+        better = sad < best_cost
+        best_cost = jnp.where(better, sad, best_cost)
+        best_mv = jnp.where(better[:, :, None], cand, best_mv)
     return best_mv, cost_i + jnp.where(
         ((best_mv & 1) != 0).any(-1), lam[:, None] * 2.0, 0.0
     )
