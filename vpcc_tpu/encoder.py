@@ -106,10 +106,10 @@ class Encoder:
             positions = vox_pos_full[:vcap]
         grid = neighbors.build_grid(positions, bits)
         k = max(cfg.maxNNCountPatchSegmentation, cfg.nnNormalEstimation)
-        # bucket=8 (24-candidate z-windows): measured identical neighbor
-        # coverage to bucket=12 on CTC-density voxel clouds at ~2/3 the
+        # bucket=6 (18-candidate z-windows): measured identical neighbor
+        # coverage to bucket=12 on CTC-density voxel clouds at ~half the
         # sweep cost (the 3x3 cell window holds ~4x the k candidates)
-        nn_idx, nn_d2 = neighbors.knn(grid, positions, positions, k=k, bucket=8)
+        nn_idx, nn_d2 = neighbors.knn(grid, positions, positions, k=k, bucket=6)
         valid_rows = positions[:, 0] != PAD_COORD
         nn_valid = (nn_d2 < neighbors.MAX_DIST2) & valid_rows[:, None]
 
