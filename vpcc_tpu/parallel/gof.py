@@ -739,10 +739,14 @@ def encode_gof_mesh(enc, frames, mesh: Optional[Mesh] = None):
                 mo = True
                 h_ref = has_ref
             else:
-                y_refs = jnp.stack([per[f]["attr_rec"][0][0] for f in fr_idx])
-                c_refs = jnp.concatenate(
-                    [per[f]["attr_rec"][1] for f in fr_idx], axis=0
-                )
+                # inter-layer: the sequential codec derives T1's reference
+                # from the DECODED T0 RGB image via rgb_refs (an RGB->YCbCr
+                # round trip, codecs.AttributeSubstreamEncoder.encode), NOT
+                # from T0's recon planes — replicate exactly or the coded
+                # residual reconstructs against different references
+                rr = [hevc.rgb_refs(per[f]["attr_dec0"]) for f in fr_idx]
+                y_refs = jnp.concatenate([r[0] for r in rr], axis=0)
+                c_refs = jnp.concatenate([r[1] for r in rr], axis=0)
                 mo = False
                 h_ref = True
             qy = qps_attr
